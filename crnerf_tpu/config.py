@@ -1,0 +1,196 @@
+"""Experiment configuration.
+
+The reference drives everything through ~50 argparse flags
+(``/root/reference/opt.py:5-172``). Here the same surface is a typed dataclass
+with *real* booleans (the reference's ``--use_cache``/``--encode_a``/
+``--use_mask``/``--encode_random``/``--use_residual`` default to True but are
+``action="store_true"`` and can never be disabled — ``opt.py:38-43,84-91``; we
+fix that with ``--no-<flag>`` forms) plus TPU-specific knobs (mesh shape,
+compute dtype, fixed appearance-input resolution for static shapes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+
+@dataclass
+class Config:
+    # ---- dataset (opt.py:8-44) ----
+    root_dir: str = ""
+    dataset_name: str = "phototourism"  # 'blender' | 'phototourism' | 'synthetic'
+    scene_name: str = "test"
+    split: str = "val"  # val | test | test_train | test_test
+    img_downscale: int = 2
+    img_wh: Tuple[int, int] = (800, 800)  # blender / test-path renders
+    data_perturb: Tuple[str, ...] = ()  # subset of {"color", "occ"}
+    use_cache: bool = True
+    testit: bool = False  # smoke mode: 1 epoch, 1 iteration per epoch
+
+    # ---- NeRF core (opt.py:46-62) ----
+    N_emb_xyz: int = 15
+    N_emb_dir: int = 4
+    N_samples: int = 64
+    N_importance: int = 64
+    use_disp: bool = False
+    perturb: float = 1.0
+    noise_std: float = 1.0
+    pertube_cord: bool = False  # reference --pertubeCord (rendering.py:102-104)
+    netdepth: int = 8
+    netwidth: int = 256
+    use_residual: bool = True
+
+    # ---- CR-NeRF head (opt.py:63-94) ----
+    encode_a: bool = True
+    encode_c: bool = False
+    encode_random: bool = True
+    use_mask: bool = True
+    mse_on_appearance: bool = False
+    N_a: int = 48
+    N_vocab: int = 1500
+    nerf_out_dim: int = 64
+    decoder: str = "linearStyle"
+    decoder_num_res_blocks: int = 1
+    model_mode: str = "1-1"  # '1-1' (NeuralRenderer) | '1-4-1' (tanh variant)
+    sigma_dropout_rate: float = 0.0
+
+    # ---- losses (opt.py:96-110) ----
+    maskrs_max: float = 5e-2
+    maskrs_min: float = 6e-3
+    maskrs_k: float = 1e-3
+    maskrd: float = 0.0
+    weightKL: float = 1e-5
+    weightRecA: float = 1e-3
+    weightMS: float = 1e-6
+    weightcontent: float = 1e-4
+
+    # ---- sampling schedule (opt.py:111-114; phototourism…py:250-253) ----
+    scale_anneal: float = -1.0
+    min_scale: float = 0.5
+
+    # ---- runtime (opt.py:116-134) ----
+    batch_size: int = 1024  # rays per grid; must be a perfect square
+    chunk: int = 8 * 1024  # eval-time ray tile size (lax.map tile)
+    num_epochs: int = 20
+    num_devices: int = 0  # 0 = use all local devices (reference --num_gpus)
+    save_dir: str = "./results"
+    ckpt_path: Optional[str] = None
+    prefixes_to_ignore: Tuple[str, ...] = ("loss",)
+    exp_name: str = "debug"
+    proj_name: str = "crnerf_tpu"
+    refresh_every: int = 1
+
+    # ---- optimization (opt.py:136-163) ----
+    optimizer: str = "adam"  # sgd | adam | radam | ranger
+    lr: float = 5e-4
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    lr_scheduler: str = "cosine"  # steplr | cosine | poly
+    warmup_multiplier: float = 1.0
+    warmup_epochs: int = 0
+    decay_step: Tuple[int, ...] = (20,)
+    decay_gamma: float = 0.1
+    poly_exp: float = 0.9
+
+    # ---- TPU-native knobs (no reference equivalent) ----
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16' for MLP matmuls
+    use_pallas: bool = True  # fused Pallas kernels on TPU where applicable
+    mesh_shape: Tuple[int, ...] = ()  # () = 1D data mesh over all devices
+    appearance_wh: Tuple[int, int] = (224, 160)  # fixed (W, H) of whole-image
+    # appearance/mask inputs: the reference feeds variable downscale-8 images
+    # (phototourism…py:36-39,194-196); we resize to one static shape so the
+    # whole train step stays a single XLA program.
+    remat: bool = True  # jax.checkpoint the MLP eval (HBM <-> FLOPs trade)
+    val_chunk: int = 2048  # reference forces chunk 2048 in val (train…py:180)
+    log_every: int = 50
+    ckpt_every_epochs: int = 1
+    seed: int = 42
+    donate_state: bool = True
+    norm: str = "batch"  # CGNet norm: 'batch' (reference fidelity) | 'group'
+    video_format: str = "gif"  # gif | mp4
+
+    # ------------------------------------------------------------------
+    @property
+    def grid_hw(self) -> int:
+        """Side of the sampled pixel grid (reference: sqrt(batch_size) —
+        phototourism…py:248, H=W=sqrt(num_rays) train…py:279-280)."""
+        side = int(round(self.batch_size ** 0.5))
+        if side * side != self.batch_size:
+            raise ValueError(
+                f"batch_size must be a perfect square (got {self.batch_size})"
+            )
+        return side
+
+    @property
+    def in_channels_xyz(self) -> int:
+        return 6 * self.N_emb_xyz + 3  # 93 for N_emb_xyz=15
+
+    @property
+    def in_channels_dir(self) -> int:
+        return 6 * self.N_emb_dir + 3  # 27 for N_emb_dir=4
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        f = {x.name for x in dataclasses.fields(Config)}
+        clean = {}
+        for k, v in d.items():
+            if k in f:
+                clean[k] = tuple(v) if isinstance(v, list) else v
+        return Config(**clean)
+
+
+_BOOL_FIELDS = {
+    "use_cache", "testit", "use_disp", "pertube_cord", "use_residual",
+    "encode_a", "encode_c", "encode_random", "use_mask", "mse_on_appearance",
+    "use_pallas", "remat", "donate_state",
+}
+
+
+def build_parser(defaults: Optional[Config] = None) -> argparse.ArgumentParser:
+    """Argparse mirror of the dataclass. Booleans get paired
+    ``--flag`` / ``--no-flag`` switches."""
+    cfg = defaults or Config()
+    p = argparse.ArgumentParser(description="CR-NeRF on TPU")
+    for f in dataclasses.fields(Config):
+        name = f.name
+        default = getattr(cfg, name)
+        arg = "--" + name
+        if name in _BOOL_FIELDS:
+            group = p.add_mutually_exclusive_group()
+            group.add_argument(arg, dest=name, action="store_true",
+                               default=default)
+            group.add_argument("--no-" + name, dest=name, action="store_false")
+        elif isinstance(default, tuple):
+            elt = type(default[0]) if default else str
+            p.add_argument(arg, nargs="*", type=elt, default=list(default))
+        elif default is None:
+            p.add_argument(arg, type=str, default=None)
+        else:
+            p.add_argument(arg, type=type(default), default=default)
+    return p
+
+
+def get_config(argv: Optional[Sequence[str]] = None) -> Config:
+    """Parse CLI args into a Config (reference: ``get_opts()``, opt.py:5)."""
+    args = build_parser().parse_args(argv)
+    d = vars(args)
+    for f in dataclasses.fields(Config):
+        if isinstance(getattr(Config(), f.name, None), tuple) and isinstance(
+            d.get(f.name), list
+        ):
+            d[f.name] = tuple(d[f.name])
+    cfg = Config(**d)
+    if cfg.testit:
+        cfg = cfg.replace(num_epochs=1)  # reference train…py:483-484
+    return cfg

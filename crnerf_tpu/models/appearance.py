@@ -1,0 +1,84 @@
+"""Appearance (style) encoders.
+
+``AppearanceEncoder`` is the live model (reference ``encoder_sameoutputsize``,
+/root/reference/models/linearStyleTransfer.py:208-276): a small VGG-ish conv
+stack over the whole (downscaled, [0,1]-ranged) image with two maxpools, an
+adaptive average pool to 32x32, and a 1x1 projection to ``out_channel``
+channels — producing the (1, 32, 32, C) style embedding used both as the
+style source (enc_a) and the content-constraint encoder (enc_cont).
+
+``Encoder3``/``Decoder3`` are the legacy linear-style-transfer pair
+(linearStyleTransfer.py:97-206), kept for zoo parity.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from crnerf_tpu.models.common import (
+    ConvRefl,
+    adaptive_avg_pool2d,
+    leaky_relu,
+    max_pool_2x2,
+    reflect_pad,
+)
+
+
+class AppearanceEncoder(nn.Module):
+    out_channel: int = 64
+    pool_hw: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, H, W, 3) in [0, 1] -> (N, 32, 32, out_channel)."""
+        x = nn.Conv(3, (1, 1), name="conv1")(x)
+        x = leaky_relu(ConvRefl(64, name="conv2")(x))
+        x = leaky_relu(ConvRefl(64, name="conv3")(x))
+        x = max_pool_2x2(x)
+        x = leaky_relu(ConvRefl(128, name="conv4")(x))
+        x = leaky_relu(ConvRefl(128, name="conv5")(x))
+        x = max_pool_2x2(x)
+        x = leaky_relu(ConvRefl(128, name="conv6")(x))
+        x = adaptive_avg_pool2d(x, (self.pool_hw, self.pool_hw))
+        x = nn.Conv(self.out_channel, (1, 1), name="conv7")(x)
+        return leaky_relu(x)
+
+
+class Encoder3(nn.Module):
+    """Legacy VGG-style encoder (linearStyleTransfer.py:149-206)."""
+
+    out_channel: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(3, (1, 1), name="conv1")(x)
+        x = leaky_relu(ConvRefl(64, name="conv2")(x))
+        x = leaky_relu(ConvRefl(64, name="conv3")(x))
+        x = max_pool_2x2(x)
+        x = leaky_relu(ConvRefl(128, name="conv4")(x))
+        x = leaky_relu(ConvRefl(128, name="conv5")(x))
+        x = max_pool_2x2(x)
+        x = leaky_relu(ConvRefl(self.out_channel, name="conv6")(x))
+        return x
+
+
+class Decoder3(nn.Module):
+    """Legacy decoder (linearStyleTransfer.py:97-146): two nearest-neighbor
+    2x upsamples with 3x3 reflection-padded convs."""
+
+    in_channel: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        def up2(x):
+            n, h, w, c = x.shape
+            return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+        x = nn.relu(ConvRefl(128, name="conv7")(x))
+        x = up2(x)
+        x = nn.relu(ConvRefl(128, name="conv8")(x))
+        x = nn.relu(ConvRefl(64, name="conv9")(x))
+        x = up2(x)
+        x = nn.relu(ConvRefl(64, name="conv10")(x))
+        return ConvRefl(3, name="conv11")(x)

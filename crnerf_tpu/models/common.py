@@ -1,0 +1,157 @@
+"""Shared NN building blocks (NHWC): per-channel PReLU, reflection-padded
+convs, torch-compatible pooling, pixel shuffle, bilinear resize."""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU (torch ``nn.PReLU(nOut)`` semantics, init 0.25)."""
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha", nn.initializers.constant(0.25), (x.shape[-1],), x.dtype
+        )
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def leaky_relu(x, slope: float = 0.2):
+    return jax.nn.leaky_relu(x, negative_slope=slope)
+
+
+def reflect_pad(x, pad: int = 1):
+    """NHWC reflection padding on H and W (torch ``nn.ReflectionPad2d``)."""
+    return jnp.pad(
+        x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
+    )
+
+
+class ConvRefl(nn.Module):
+    """Reflection-pad + VALID conv — the reference's ReflectionPad2d+Conv2d
+    pairs (linearStyleTransfer.py:101-126 and friends)."""
+
+    features: int
+    kernel: int = 3
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        p = (self.kernel - 1) // 2
+        if p:
+            x = reflect_pad(x, p)
+        return nn.Conv(
+            self.features, (self.kernel, self.kernel), padding="VALID",
+            use_bias=self.use_bias,
+        )(x)
+
+
+def max_pool_2x2(x):
+    """torch MaxPool2d(2,2) floor behavior: odd trailing row/col dropped."""
+    h, w = x.shape[1], x.shape[2]
+    x = x[:, : h - h % 2, : w - w % 2, :]
+    return nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+
+
+def avg_pool_3x3_s2_p1(x):
+    """torch AvgPool2d(3, stride=2, padding=1) with count_include_pad=True
+    (CGNet InputInjection, lightweight_seg.py:262-271)."""
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return nn.avg_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+
+def adaptive_avg_pool2d(x, out_hw: Tuple[int, int]):
+    """Exact torch AdaptiveAvgPool2d for static input shapes.
+
+    Bin i over an axis of size S covers [floor(i*S/O), ceil((i+1)*S/O)).
+    Implemented as two small matmuls against trace-time bin-indicator
+    matrices — exact (no long accumulation chains) and MXU-friendly for
+    arbitrary static input sizes.
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+
+    def bin_matrix(size, out):
+        starts = np.floor(np.arange(out) * size / out).astype(np.int64)
+        ends = np.ceil((np.arange(out) + 1) * size / out).astype(np.int64)
+        m = np.zeros((out, size), np.float32)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            m[i, s:e] = 1.0 / (e - s)
+        return m
+
+    eh = jnp.asarray(bin_matrix(h, oh), x.dtype)  # (oh, h)
+    ew = jnp.asarray(bin_matrix(w, ow), x.dtype)  # (ow, w)
+    # HIGHEST precision: this is a pooling op — bf16 MXU passes would inject
+    # ~1e-3 noise into the style embedding for negligible FLOP savings.
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,nhwc->nowc", eh, x, precision=hp,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("pw,nowc->nopc", ew, y, precision=hp,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
+def global_avg_pool(x):
+    """AdaptiveAvgPool2d(1) -> (N, C)."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+def pixel_shuffle(x, r: int = 2):
+    """torch ``F.pixel_shuffle`` on NHWC.
+
+    Input channel index decomposes as c*r*r + i*r + j (torch convention);
+    output[b, h*r+i, w*r+j, c] = input[b, h, w, c*r*r + i*r + j].
+    """
+    n, h, w, c4 = x.shape
+    c = c4 // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, i, w, j, c
+    return x.reshape(n, h * r, w * r, c)
+
+
+def resize_bilinear(x, out_hw: Tuple[int, int]):
+    """Bilinear resize with half-pixel centers — matches torch
+    ``F.interpolate(mode='bilinear', align_corners=False)`` (the reference's
+    mask upsampling, train_mask_grid_sample.py:172)."""
+    n, h, w, c = x.shape
+    return jax.image.resize(
+        x, (n, out_hw[0], out_hw[1], c), method="bilinear"
+    )
+
+
+def sample_bilinear_uv(img, uv):
+    """Sample img (H, W, C) at normalized uv coords (N, 2) = (v, u) in [0,1),
+    half-pixel convention matching interpolate-then-index on the pixel the
+    grid sampler floors to.
+
+    TPU-native replacement for the reference's materialize-full-res-mask +
+    flat-index gather (train_mask_grid_sample.py:170-176): we gather only the
+    N sampled points.
+    """
+    h, w, c = img.shape
+    # map normalized coord -> continuous source coord (align_corners=False)
+    y = uv[:, 0] * h - 0.5
+    x = uv[:, 1] * w - 0.5
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    wy = y - y0
+    wx = x - x0
+
+    def at(yy, xx):
+        yy = jnp.clip(yy.astype(jnp.int32), 0, h - 1)
+        xx = jnp.clip(xx.astype(jnp.int32), 0, w - 1)
+        return img[yy, xx]
+
+    v00 = at(y0, x0)
+    v01 = at(y0, x0 + 1)
+    v10 = at(y0 + 1, x0)
+    v11 = at(y0 + 1, x0 + 1)
+    top = v00 * (1 - wx)[:, None] + v01 * wx[:, None]
+    bot = v10 * (1 - wx)[:, None] + v11 * wx[:, None]
+    return top * (1 - wy)[:, None] + bot * wy[:, None]

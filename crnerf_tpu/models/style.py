@@ -1,0 +1,116 @@
+"""The cross-ray style transformation head.
+
+Reference: ``CNN`` + ``MulLayer`` + ``style_net``
+(/root/reference/models/linearStyleTransfer.py:6-94,278-291) — the
+linear-style-transfer fusion that is the paper's "cross-ray appearance
+transfer": both the rendered feature map (content) and the style embedding
+are mean-centered, compressed to matrixSize channels, turned into gram-like
+32x32 matrices by small conv towers, multiplied into one transformation
+matrix, applied to the compressed content, unzipped back to 64 channels, and
+shifted by the style mean.
+
+Everything here is batched matmuls on 32x32/32xHW operands — pure MXU food.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from crnerf_tpu.models.common import leaky_relu
+from crnerf_tpu.models.decoder import NeuralRenderer
+
+
+class GramCNN(nn.Module):
+    """Conv tower + gram matrix + FC (reference ``CNN``,
+    linearStyleTransfer.py:6-37). Input NHWC, output (N, m*m)."""
+
+    matrix_size: int = 32
+    in_channel: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, _ = x.shape
+        x = leaky_relu(nn.Conv(128, (1, 1), name="conv1")(x))
+        x = leaky_relu(nn.Conv(64, (1, 1), name="conv2")(x))
+        x = nn.Conv(self.matrix_size, (1, 1), name="conv3")(x)
+        # gram: (N, C, HW) @ (N, HW, C) / (h*w)
+        flat = x.reshape(n, h * w, self.matrix_size)
+        gram = jnp.einsum(
+            "npc,npd->ncd", flat, flat,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype) / (h * w)
+        return nn.Dense(self.matrix_size * self.matrix_size, name="fc")(
+            gram.reshape(n, -1)
+        )
+
+
+class StyleTransform(nn.Module):
+    """The learned 32x32 feature transformation (reference ``MulLayer``,
+    linearStyleTransfer.py:43-94)."""
+
+    matrix_size: int = 32
+    in_channel: int = 64
+
+    @nn.compact
+    def __call__(self, content, style, trans: bool = True):
+        """content: (N, Hc, Wc, C); style: (N, Hs, Ws, C).
+        Returns (fused (N, Hc, Wc, C), transmatrix (N, m, m))."""
+        m = self.matrix_size
+        n, ch, cw, c = content.shape
+
+        c_mean = jnp.mean(content, axis=(1, 2), keepdims=True)
+        cF = content - c_mean
+        s_mean = jnp.mean(style, axis=(1, 2), keepdims=True)
+        sF = style - s_mean
+
+        compress = nn.Conv(m, (1, 1), name="compress")
+        unzip = nn.Conv(self.in_channel, (1, 1), name="unzip")
+
+        cc = compress(cF)  # (N, Hc, Wc, m)
+        if not trans:
+            return unzip(cc) + c_mean, None
+
+        c_mat = GramCNN(m, self.in_channel, name="cnet")(cF).reshape(n, m, m)
+        s_mat = GramCNN(m, self.in_channel, name="snet")(sF).reshape(n, m, m)
+        transmatrix = jnp.einsum(
+            "nij,njk->nik", s_mat, c_mat,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(content.dtype)
+        # apply to compressed content: (N,m,m) @ (N,m,HW)
+        cc_flat = cc.reshape(n, ch * cw, m)
+        fused = jnp.einsum(
+            "nij,npj->npi", transmatrix, cc_flat,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(content.dtype).reshape(n, ch, cw, m)
+        out = unzip(fused) + s_mean
+        return out, transmatrix
+
+
+class StyleNet(nn.Module):
+    """Fusion + decode (reference ``style_net``,
+    linearStyleTransfer.py:278-291). ``style=None, kind='content'`` decodes
+    the raw feature map for the content-constraint loss."""
+
+    nerf_out_dim: int = 64
+    n_upsample_blocks: int = 0  # log2(img/featmap); 0 in the shipped config
+
+    @nn.compact
+    def __call__(self, content_feature, style_feature=None,
+                 kind: Optional[str] = None):
+        decoder = NeuralRenderer(
+            feat_nc=self.nerf_out_dim, out_dim=3,
+            n_blocks=self.n_upsample_blocks, name="decoder",
+        )
+        if style_feature is None and kind == "content":
+            return decoder(content_feature)
+        fused, _ = StyleTransform(
+            in_channel=self.nerf_out_dim, name="multi_net"
+        )(content_feature, style_feature)
+        return decoder(fused)

@@ -1,0 +1,158 @@
+"""The jitted training step (single-chip and shard_map data-parallel).
+
+Equivalent of ``NeRFSystem.training_step`` (/root/reference/
+train_mask_grid_sample.py:268-337) as one pure function:
+(state, batch) -> (state', metrics). Distribution (SURVEY.md §2.9): the
+reference's Lightning-DDP/NCCL all-reduce becomes ``shard_map`` over a
+``Mesh`` with ``psum`` over ICI; each device consumes its own image-grid
+(global batch = n_devices grids, matching DDP's per-rank batches).
+
+The random-appearance branch (train…py:161-166,216-221): a cached style
+embedding is drawn uniformly from the filled entries of the cache; while the
+cache is empty the live embedding is used (the reference uses the live
+embedding with gradient in that warm-up case — we keep that). After the
+step, every device's (ts, embedding) write is all-gathered and applied on
+every replica so caches stay identical across the mesh — the reference's
+per-rank caches silently diverge under DDP (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from crnerf_tpu.config import Config
+from crnerf_tpu.render.system import CrNerfSystem
+from crnerf_tpu.train.losses import crnerf_loss
+from crnerf_tpu.train.metrics import psnr
+from crnerf_tpu.train.state import TrainState
+
+
+def _select_random_embedding(key, state: TrainState):
+    """Uniform draw over valid cache entries; returns (emb (1,32,32,C),
+    has_any bool)."""
+    valid = state.embedding_valid
+    n = valid.shape[0]
+    has_any = jnp.any(valid)
+    # uniform over valid via gumbel-max on the mask (exact uniform among
+    # valid entries, fixed shapes)
+    g = jax.random.gumbel(key, (n,))
+    scores = jnp.where(valid, g, -jnp.inf)
+    idx = jnp.argmax(scores)
+    emb = state.embedding_cache[idx][None].astype(jnp.float32)
+    return emb, has_any
+
+
+def make_train_step(system: CrNerfSystem, tx, lr_sched,
+                    axis_name: Optional[str] = None):
+    """Build the pure train-step function. ``axis_name`` set -> gradients are
+    psum-averaged and embedding-cache writes are all-gathered over that mesh
+    axis (call inside shard_map)."""
+    cfg = system.cfg
+
+    def loss_fn(params, state: TrainState, batch, key, a_rand, has_any):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        kf, = jax.random.split(key, 1)
+        results, new_bs = system.forward(
+            variables, batch, kf,
+            a_embedded_random=a_rand if cfg.encode_random and cfg.encode_a
+            else None,
+            random_has_any=has_any,
+            train=True,
+        )
+        loss_d, aw = crnerf_loss(
+            results, batch["rgbs"], state.step,
+            weightKL=cfg.weightKL, weightRecA=cfg.weightRecA,
+            weightcontent=cfg.weightcontent, maskrs_max=cfg.maskrs_max,
+            maskrs_min=cfg.maskrs_min, maskrs_k=cfg.maskrs_k,
+            maskrd=cfg.maskrd, mse_on_appearance=cfg.mse_on_appearance,
+        )
+        total = sum(loss_d.values())
+        typ = "rgb_fine" if "rgb_fine" in results else "rgb_coarse"
+        aux = {
+            "loss_d": loss_d,
+            "aw": aw,
+            "psnr": psnr(
+                jax.lax.stop_gradient(results[typ]), batch["rgbs"]
+            ),
+            "new_bs": new_bs,
+            "a_embedded": results.get("a_embedded"),
+        }
+        return total, aux
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, kstep, ksel = jax.random.split(state.rng, 3)
+        if axis_name is not None:
+            # decorrelate per-device randomness
+            kstep = jax.random.fold_in(kstep, jax.lax.axis_index(axis_name))
+            ksel = jax.random.fold_in(ksel, jax.lax.axis_index(axis_name))
+
+        a_rand, has_any = _select_random_embedding(ksel, state)
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, batch, kstep, a_rand, has_any
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            total = jax.lax.pmean(total, axis_name)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u, state.params, updates
+        )
+
+        new_cache, new_valid = state.embedding_cache, state.embedding_valid
+        if cfg.encode_a and cfg.encode_random:
+            ts0 = batch["ts"][0]
+            emb = jax.lax.stop_gradient(aux["a_embedded"])[0].astype(
+                state.embedding_cache.dtype
+            )
+            if axis_name is not None:
+                all_ts = jax.lax.all_gather(ts0, axis_name)        # (D,)
+                all_emb = jax.lax.all_gather(emb, axis_name)       # (D,...)
+
+                def write(i, cv):
+                    c, v = cv
+                    c = c.at[all_ts[i]].set(all_emb[i])
+                    v = v.at[all_ts[i]].set(True)
+                    return c, v
+
+                new_cache, new_valid = jax.lax.fori_loop(
+                    0, all_ts.shape[0], write, (new_cache, new_valid)
+                )
+            else:
+                new_cache = new_cache.at[ts0].set(emb)
+                new_valid = new_valid.at[ts0].set(True)
+
+        new_bs = aux["new_bs"] if aux["new_bs"] is not None else (
+            state.batch_stats
+        )
+        if axis_name is not None and aux["new_bs"] is not None:
+            # keep BN running stats replica-identical
+            new_bs = jax.lax.pmean(new_bs, axis_name)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            embedding_cache=new_cache,
+            embedding_valid=new_valid,
+            rng=rng,
+        )
+        metrics = {
+            "loss": total,
+            "psnr": aux["psnr"],
+            "annealing_weight": aux["aw"],
+            "lr": lr_sched(state.step),
+        }
+        for k, v in aux["loss_d"].items():
+            metrics[f"loss/{k}"] = v
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+        return new_state, metrics
+
+    return train_step

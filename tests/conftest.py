@@ -1,0 +1,17 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding logic is exercised without TPU hardware (the TPU-native
+answer to the reference's untested DDP — SURVEY.md §4)."""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
