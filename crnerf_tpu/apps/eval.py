@@ -1,0 +1,123 @@
+"""Render a dataset split to PNGs (reference eval.py, SURVEY.md §3.2).
+
+Splits:
+- ``test_test``: render every test image at its own resolution using its OWN
+  appearance embedding (eval.py:271-283) — the input to the right-half
+  metric protocol.
+- ``test_train``: same over train images.
+- ``test``: a parametric fov-60° camera path around a per-scene anchor pose
+  with a fixed appearance source image (eval.py:131-268); writes PNGs + GIF.
+
+Checkpoints: pass ``--ckpt_path`` as either a ``weights.npz`` inference
+bundle or a training checkpoint directory containing one.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from crnerf_tpu.apps import load_scene_from_config
+from crnerf_tpu.config import Config, get_config
+from crnerf_tpu.render.camera_path import (
+    PATH_PRESETS,
+    fov_intrinsics,
+    resolve_scene,
+    test_path_rays,
+)
+from crnerf_tpu.render.inference import Renderer
+from crnerf_tpu.utils.checkpoint import load_weights_only
+
+
+def load_variables(ckpt_path: str):
+    if ckpt_path.endswith(".npz"):
+        return load_weights_only(ckpt_path)
+    cand = os.path.join(ckpt_path, "weights.npz")
+    if os.path.isdir(ckpt_path) and os.path.exists(cand):
+        return load_weights_only(cand)
+    raise FileNotFoundError(
+        f"no inference bundle at {ckpt_path} (expected weights.npz; "
+        "training writes one next to the orbax checkpoint)"
+    )
+
+
+def save_png(path: str, rgb01: np.ndarray):
+    import imageio.v2 as imageio
+
+    imageio.imwrite(
+        path, (np.clip(rgb01, 0, 1) * 255).astype(np.uint8)
+    )
+
+
+def run(cfg: Config) -> str:
+    variables = load_variables(cfg.ckpt_path)
+    renderer = Renderer(cfg, variables)
+    scene = load_scene_from_config(cfg, split=cfg.split)
+    out_dir = os.path.join(
+        cfg.save_dir, "results", cfg.dataset_name, cfg.scene_name
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    if cfg.split in ("test_test", "test_train", "val"):
+        images = (
+            scene.test_images
+            if cfg.split == "test_test"
+            else scene.train_images
+        )
+        if cfg.split == "val":
+            images = images[:1]
+        from crnerf_tpu.data.pipeline import full_image_batch
+
+        for i, im in enumerate(images):
+            b = full_image_batch(scene, im)
+            w, h = im.wh
+            out = renderer.render_frame(
+                b["rays"][:, :8], b["whole_img"], (h, w)
+            )
+            save_png(os.path.join(out_dir, f"{i:03d}.png"), out["rgb"])
+        print(f"rendered {len(images)} images -> {out_dir}")
+        return out_dir
+
+    if cfg.split == "test":  # parametric camera path
+        key = resolve_scene(cfg.scene_name)
+        spec = PATH_PRESETS[key]
+        train_imgs = scene.train_images
+        anchor = train_imgs[
+            min(spec.appearance_train_idx or 0, len(train_imgs) - 1)
+        ]
+        style = train_imgs[
+            min(spec.appearance_train_idx or 0, len(train_imgs) - 1)
+        ]
+        near, far = anchor.near, anchor.far
+        frames = []
+        w, h = tuple(cfg.img_wh)
+        for i, rays in enumerate(
+            test_path_rays(spec, anchor.c2w, (w, h), near, far)
+        ):
+            out = renderer.render_frame(
+                rays, style.appearance[None], (h, w)
+            )
+            save_png(os.path.join(out_dir, f"{i:03d}.png"), out["rgb"])
+            frames.append(
+                (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
+            )
+        import imageio.v2 as imageio
+
+        imageio.mimsave(
+            os.path.join(out_dir, f"{cfg.scene_name}.gif"), frames, fps=30
+        )
+        print(f"rendered {len(frames)}-frame path -> {out_dir}")
+        return out_dir
+
+    raise ValueError(f"unsupported split {cfg.split!r}")
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    cfg = get_config(argv)
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Training entry point (reference train_mask_grid_sample.py __main__,
+SURVEY.md §3.1): config -> scene -> Trainer.fit with logging, checkpoints
+and a code snapshot."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+
+from crnerf_tpu.apps import load_scene_from_config
+from crnerf_tpu.config import get_config
+from crnerf_tpu.train.loop import Trainer
+from crnerf_tpu.utils.logging import MetricLogger, save_code
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    cfg = get_config(argv)
+    scene = load_scene_from_config(cfg, split="train")
+
+    if jax.process_index() == 0:  # reference @rank_zero_only save_code
+        save_code(
+            cfg.save_dir, cfg.exp_name, cfg.to_json(),
+        )
+    logger = MetricLogger(
+        os.path.join(cfg.save_dir, "logs"), cfg.exp_name,
+        project=cfg.proj_name,
+    )
+    trainer = Trainer(cfg, scene, logger=logger)
+    state = trainer.fit()
+    val = trainer.validate()
+    print(f"final val: psnr={val['psnr']:.3f} ssim={val['ssim']:.4f}")
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

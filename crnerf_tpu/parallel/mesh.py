@@ -1,0 +1,80 @@
+"""Device mesh & sharding helpers — the framework's distribution layer.
+
+The reference's entire distributed surface is a Lightning DDP strategy
+string riding NCCL (/root/reference/train_mask_grid_sample.py:445-447,
+SURVEY.md §2.9). TPU-native, that becomes: a ``jax.sharding.Mesh`` over the
+chips, replicated train state, batches sharded on a leading 'data' axis, and
+``shard_map`` running the per-device step with ``psum``/``all_gather``
+collectives over ICI. Multi-host (DCN) works unchanged — jax.distributed
+initializes process groups and the same mesh spans all processes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    n_devices: int = 0, devices: Optional[Sequence] = None
+) -> Mesh:
+    """1-D data mesh over the first n_devices local devices (0 = all).
+
+    For CR-NeRF the model is ~1M params — pure DP is the right layout; the
+    mesh abstraction still leaves room for extra axes later (SURVEY.md §2.9:
+    TP unnecessary at this size).
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices and n_devices > 0:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_train_step(
+    train_step: Callable, mesh: Mesh, donate_state: bool = True
+) -> Callable:
+    """Wrap a per-device train step (built with axis_name=DATA_AXIS) into a
+    jitted SPMD step over the mesh.
+
+    state is replicated; every leaf of the batch is sharded on its leading
+    device axis (size = mesh size). Inside shard_map each device sees a
+    leading axis of 1, which we squeeze before the per-device step.
+    """
+
+    def per_device(state, batch):
+        local = jax.tree.map(lambda x: x[0], batch)
+        return train_step(state, local)
+
+    mapped = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate_state else ())
+
+
+def put_global_batch(batch, mesh: Mesh):
+    """Host (D, ...) numpy batch -> device arrays sharded over 'data'."""
+    sh = data_sharded(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def put_replicated(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -31,15 +31,41 @@ from crnerf_tpu.core.sampling import (
 
 
 def _eval_mlp(apply_fn, params, xyz, dir_emb, n_emb_xyz, remat,
-              pertube_key=None):
+              pertube_key=None, fused=None):
     """Evaluate a NeRF MLP on (N, S, 3) points with per-ray (N, D) dir
-    embeddings. Returns features (N, S, C) and sigmas (N, S)."""
+    embeddings. Returns features (N, S, C) and sigmas (N, S).
+
+    ``fused``: optional dict {'raw_dirs': (N,3), 'n_emb_dir': int} — route
+    through the Pallas fused PE+MLP kernel (crnerf_tpu.ops.fused_mlp)
+    instead of the flax chain. Inference-only (the kernel has no VJP);
+    activations stay in VMEM across all 11 layers.
+    """
     n, s, _ = xyz.shape
     if pertube_key is not None:
         # reference --pertubeCord: tiny uniform jitter on the flat coords
         # (rendering.py:102-104)
         xyz = xyz + 1e-5 * jax.random.uniform(pertube_key, xyz.shape,
                                               xyz.dtype)
+
+    if fused is not None:
+        from crnerf_tpu.ops.fused_mlp import (
+            fused_mlp_apply,
+            mlp_params_from_flax,
+        )
+
+        kp = mlp_params_from_flax(params, depth=fused.get("depth", 8))
+        dirs_pt = jnp.broadcast_to(
+            fused["raw_dirs"][:, None, :], (n, s, 3)
+        ).reshape(n * s, 3)
+        out = fused_mlp_apply(
+            kp, xyz.reshape(n * s, 3), dirs_pt,
+            n_emb_xyz=n_emb_xyz,
+            n_emb_dir=fused["n_emb_dir"],
+            tile=fused.get("tile", 1024),
+            compute_dtype=fused.get("compute_dtype", jnp.float32),
+            interpret=fused.get("interpret", False),
+        ).reshape(n, s, -1)
+        return out[..., :-1], out[..., -1]
 
     def run(xyz_in):
         xyz_emb = posenc(xyz_in, n_emb_xyz)  # (N, S, 93)

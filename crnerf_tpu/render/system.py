@@ -162,7 +162,11 @@ class CrNerfSystem:
             mask, mutated = self.m.mask_net.apply(
                 v, whole01, train=True, mutable=["batch_stats"]
             )
-            return mask, mutated["batch_stats"]
+            # keep the submodule nesting so the train-state batch_stats tree
+            # keeps its structure across steps
+            new_bs = dict(variables["batch_stats"])
+            new_bs["implicit_mask"] = mutated["batch_stats"]
+            return mask, new_bs
         return self.m.mask_net.apply(v, whole01, train=False), None
 
     # ----------------------------------------------------------- forward

@@ -1,0 +1,236 @@
+"""The training driver: epochs over grid batches, validation renders,
+checkpoints, metric logging — the TPU-native equivalent of the reference's
+Lightning Trainer + NeRFSystem glue (/root/reference/
+train_mask_grid_sample.py:228-453, SURVEY.md §2.5).
+
+Key differences by design:
+- ONE compiled SPMD train step (shard_map over a data mesh) instead of
+  DDP processes; state is replicated, batches are sharded (SURVEY.md §2.9).
+- All training state (incl. the appearance-embedding cache) in one orbax
+  checkpoint; resume restores everything (the reference loses its embedding
+  list — SURVEY.md §2.7).
+- Validation = full-image tiled render inside jit, per-resolution compile
+  cache (the reference chunk-loops on host, train…py:180-197).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crnerf_tpu.config import Config
+from crnerf_tpu.data.pipeline import TrainPipeline, full_image_batch
+from crnerf_tpu.data.scene import Scene
+from crnerf_tpu.parallel.mesh import (
+    DATA_AXIS,
+    make_mesh,
+    put_global_batch,
+    put_replicated,
+    shard_train_step,
+)
+from crnerf_tpu.render.system import CrNerfSystem
+from crnerf_tpu.train.metrics import psnr as psnr_fn, ssim as ssim_fn
+from crnerf_tpu.train.optim import make_optimizer
+from crnerf_tpu.train.state import TrainState
+from crnerf_tpu.train.step import make_train_step
+from crnerf_tpu.utils.checkpoint import CheckpointManager, save_weights_only
+from crnerf_tpu.utils.logging import MetricLogger
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        scene: Scene,
+        logger: Optional[MetricLogger] = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.scene = scene
+        self.system = CrNerfSystem(cfg)
+        self.pipeline = TrainPipeline(
+            scene,
+            batch_size=cfg.batch_size,
+            scale_anneal=cfg.scale_anneal,
+            min_scale=cfg.min_scale,
+        )
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
+        self.n_devices = self.mesh.devices.size
+        self.iters_per_epoch = max(
+            1, self.pipeline.iterations // self.n_devices
+        )
+        if cfg.testit:  # smoke mode: 1 step per epoch (opt.py:40-41)
+            self.iters_per_epoch = 1
+
+        self.tx, self.lr_sched = make_optimizer(cfg, self.iters_per_epoch)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        k_init, k_state = jax.random.split(key)
+        variables = self.system.init(k_init)
+        opt_state = self.tx.init(variables["params"])
+        state = TrainState.create(
+            variables,
+            opt_state,
+            n_vocab=cfg.N_vocab,
+            embed_hw=32,
+            embed_c=cfg.nerf_out_dim,
+            rng=k_state,
+        )
+        self.state = put_replicated(state, self.mesh)
+
+        axis = DATA_AXIS if self.n_devices > 1 else None
+        step_local = make_train_step(self.system, self.tx, self.lr_sched,
+                                     axis_name=axis)
+        if self.n_devices > 1:
+            self.step_fn = shard_train_step(
+                step_local, self.mesh, donate_state=cfg.donate_state
+            )
+        else:
+            self.step_fn = jax.jit(
+                step_local, donate_argnums=(0,) if cfg.donate_state else ()
+            )
+
+        self.logger = logger
+        ckpt_dir = os.path.join(cfg.save_dir, "ckpts", cfg.exp_name)
+        self.ckpt = CheckpointManager(ckpt_dir)
+        self._render_cache: Dict[Tuple[int, int], callable] = {}
+
+        if cfg.ckpt_path:
+            self.restore(cfg.ckpt_path)
+
+    # ------------------------------------------------------------- resume
+    def restore(self, path_or_dir: Optional[str] = None):
+        mgr = (
+            self.ckpt
+            if path_or_dir in (None, self.ckpt.directory)
+            else CheckpointManager(path_or_dir)
+        )
+        self.state = put_replicated(
+            mgr.restore(jax.tree.map(np.asarray, self.state)), self.mesh
+        )
+
+    # -------------------------------------------------------------- train
+    def fit(self, num_epochs: Optional[int] = None):
+        cfg = self.cfg
+        epochs = num_epochs if num_epochs is not None else cfg.num_epochs
+        global_step = int(jax.device_get(self.state.step))
+        start_epoch = global_step // self.iters_per_epoch
+        for epoch in range(start_epoch, epochs):
+            t_ep = time.time()
+            n_rays_done = 0
+            for batch in self.pipeline.epoch_batches(
+                epoch, self.n_devices, n_steps=self.iters_per_epoch
+            ):
+                if self.n_devices > 1:
+                    batch = put_global_batch(batch, self.mesh)
+                else:
+                    batch = jax.tree.map(jnp.asarray, batch)
+                self.state, metrics = self.step_fn(self.state, batch)
+                global_step += 1
+                n_rays_done += cfg.batch_size * self.n_devices
+                if self.logger and global_step % cfg.log_every == 0:
+                    m = {f"train/{k}" if "/" not in k else k: v
+                         for k, v in jax.device_get(metrics).items()}
+                    self.logger.log(m, global_step)
+            dt = time.time() - t_ep
+            if self.logger:
+                self.logger.log(
+                    {
+                        "train/epoch": epoch,
+                        "train/rays_per_sec": n_rays_done / max(dt, 1e-9),
+                    },
+                    global_step,
+                )
+            # ---- validation (reference: val at every epoch end,
+            # metric-logged; train…py:340-417)
+            is_last = epoch == epochs - 1
+            val = self.validate()
+            if self.logger:
+                self.logger.log(
+                    {"val/psnr": val["psnr"], "val/ssim": val["ssim"]},
+                    global_step,
+                )
+            if (epoch + 1) % cfg.ckpt_every_epochs == 0 or is_last:
+                host_state = jax.device_get(self.state)
+                self.ckpt.save(global_step, host_state, force=is_last)
+                # inference bundle for the eval/video apps
+                save_weights_only(
+                    host_state,
+                    os.path.join(self.ckpt.directory, "weights.npz"),
+                )
+        return self.state
+
+    # ---------------------------------------------------------- rendering
+    def _render_fn(self, hw: Tuple[int, int]):
+        """Per-resolution compiled full-image renderer (SURVEY.md §7 hard
+        part 1: per-shape compile cache)."""
+        if hw in self._render_cache:
+            return self._render_cache[hw]
+        tile = min(self.cfg.val_chunk, hw[0] * hw[1])
+
+        def render(state: TrainState, rays, whole_img, key):
+            variables = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+            }
+            batch = {"rays": rays, "whole_img": whole_img}
+            results, _ = self.system.forward(
+                variables, batch, key, train=False, tile=tile, image_hw=hw
+            )
+            return results
+
+        fn = jax.jit(render)
+        self._render_cache[hw] = fn
+        return fn
+
+    def render_image(self, image, appearance_img=None, state=None):
+        """Full render of one SceneImage -> dict with rgb (h,w,3), depth,
+        mask. Uses the image's own appearance unless overridden
+        (eval.py:275-278 / video demo)."""
+        state = state if state is not None else self.state
+        b = full_image_batch(self.scene, image, appearance_img)
+        w, h = image.wh
+        fn = self._render_fn((h, w))
+        out = fn(
+            state,
+            jnp.asarray(b["rays"]),
+            jnp.asarray(b["whole_img"]),
+            jax.random.PRNGKey(0),
+        )
+        typ = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"
+        res = {
+            "rgb": np.asarray(
+                jax.device_get(out[typ])
+            ).reshape(h, w, 3),
+            "depth": np.asarray(
+                jax.device_get(
+                    out.get("depth_fine", out["depth_coarse"])
+                )
+            ).reshape(h, w),
+        }
+        if "out_mask" in out:
+            res["mask"] = np.asarray(
+                jax.device_get(out["out_mask"])
+            ).reshape(h, w)
+        return res
+
+    # ---------------------------------------------------------- validate
+    def validate(self, max_images: int = 1) -> Dict[str, float]:
+        """Render the first train image(s) full-res and score PSNR/SSIM —
+        the reference's val protocol (val image = first train image,
+        phototourism…py:215-216; metrics train…py:396-417)."""
+        psnrs, ssims = [], []
+        for im in self.scene.train_images[:max_images]:
+            out = self.render_image(im)
+            w, h = im.wh
+            gt = im.rgbs.reshape(h, w, 3)
+            psnrs.append(float(psnr_fn(jnp.asarray(out["rgb"]),
+                                       jnp.asarray(gt))))
+            ssims.append(float(ssim_fn(jnp.asarray(out["rgb"]),
+                                       jnp.asarray(gt))))
+        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}

@@ -1,0 +1,131 @@
+"""Checkpoint I/O: one orbax-saved pytree holds the FULL training state.
+
+Reference behavior being matched (SURVEY.md §5.4):
+- Lightning ModelCheckpoint(save_last=True) -> we keep ``latest`` plus
+  periodic steps (/root/reference/train_mask_grid_sample.py:426-429).
+- ``load_ckpt``-style selective, prefix-filtered loading of submodules into a
+  fresh model (/root/reference/utils/__init__.py:67-88): params here are a
+  nested dict keyed by the same prefixes (nerf_coarse, nerf_fine, enc_a,
+  enc_cont, decoder, implicit_mask — SURVEY.md §2.7), so "selective load" is
+  dict selection, not string surgery.
+- ``save_weights_only.py`` -> ``save_weights_only`` strips params out of a
+  full state.
+
+Unlike the reference, the appearance-embedding cache IS checkpointed (it
+lives in TrainState — the reference loses its ``embedding_a_list`` on resume,
+train…py:89,221).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: save/restore a TrainState-shaped pytree."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state, force: bool = False):
+        self.mgr.save(
+            step, args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)),
+            force=force,
+        )
+        self.mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(self, state_like, step: Optional[int] = None):
+        """Restore into the structure of ``state_like`` (shapes/dtypes must
+        match). Returns the restored pytree."""
+        step = step if step is not None else self.mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        target = jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, state_like
+        )
+        return self.mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def close(self):
+        self.mgr.close()
+
+
+def _flatten(tree, prefix, out):
+    for k, v in tree.items():
+        name = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            _flatten(v, name, out)
+        else:
+            out[name] = np.asarray(v)
+
+
+def _unflatten(flat) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for name in flat.files:
+        parts = name.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[name]
+    return tree
+
+
+def save_weights_only(state, path: str):
+    """Strip a full train state to an inference bundle: params +
+    batch_stats in one npz (reference utils/save_weights_only.py:12-15)."""
+    flat: Dict[str, np.ndarray] = {}
+    _flatten(jax.tree.map(np.asarray, state.params), "params", flat)
+    bs = getattr(state, "batch_stats", {}) or {}
+    _flatten(jax.tree.map(np.asarray, bs), "batch_stats", flat)
+    np.savez(path, **flat)
+
+
+def load_weights_only(path: str) -> Dict[str, Any]:
+    """Inverse of save_weights_only -> {'params': ..., 'batch_stats': ...}
+    variables dict ready for inference."""
+    tree = _unflatten(np.load(path))
+    tree.setdefault("params", {})
+    tree.setdefault("batch_stats", {})
+    return tree
+
+
+def extract_submodule(params: Dict[str, Any], prefix: str):
+    """reference extract_model_state_dict (utils/__init__.py:67-82): pull one
+    submodule's weights out of a full params tree."""
+    if prefix not in params:
+        raise KeyError(
+            f"submodule {prefix!r} not in checkpoint "
+            f"(has {sorted(params)})"
+        )
+    return params[prefix]
+
+
+def load_selective(
+    params: Dict[str, Any],
+    ckpt_params: Dict[str, Any],
+    prefixes_to_ignore: Iterable[str] = (),
+) -> Dict[str, Any]:
+    """reference load_ckpt (utils/__init__.py:84-88): overwrite every
+    submodule present in the checkpoint except the ignored prefixes; missing
+    submodules keep their fresh init."""
+    skip = set(prefixes_to_ignore)
+    out = dict(params)
+    for k, v in ckpt_params.items():
+        if k in skip or k not in params:
+            continue
+        out[k] = v
+    return out

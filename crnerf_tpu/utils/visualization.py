@@ -1,0 +1,38 @@
+"""Debug visualization: depth map -> JET colormap image.
+
+Reference: utils/visualization.py:6-17 (cv2 JET colormap over the
+min-max-normalized inverse? no — direct depth). Implemented in pure numpy so
+it has no cv2 dependency in the hot path; cv2 is used only if present for
+bit-identical JET colors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _jet(x: np.ndarray) -> np.ndarray:
+    """Minimal JET colormap on [0,1] -> (..., 3) in [0,1]."""
+    r = np.clip(1.5 - np.abs(4 * x - 3), 0, 1)
+    g = np.clip(1.5 - np.abs(4 * x - 2), 0, 1)
+    b = np.clip(1.5 - np.abs(4 * x - 1), 0, 1)
+    return np.stack([r, g, b], -1)
+
+
+def visualize_depth(depth, wh=None) -> np.ndarray:
+    """depth (H*W,) or (H, W) -> (H, W, 3) float [0,1] JET image."""
+    d = np.asarray(depth, np.float64)
+    if d.ndim == 1:
+        if wh is None:
+            raise ValueError("flat depth needs wh=(w, h)")
+        w, h = wh
+        d = d.reshape(h, w)
+    lo, hi = np.nanmin(d), np.nanmax(d)
+    x = (d - lo) / max(hi - lo, 1e-8)
+    try:
+        import cv2  # type: ignore
+
+        m = cv2.applyColorMap((x * 255).astype(np.uint8), cv2.COLORMAP_JET)
+        return m[..., ::-1].astype(np.float32) / 255.0
+    except Exception:
+        return _jet(x).astype(np.float32)

@@ -1,11 +1,16 @@
 """Test harness config: run everything on a virtual 8-device CPU mesh so
 multi-chip sharding logic is exercised without TPU hardware (the TPU-native
-answer to the reference's untested DDP — SURVEY.md §4)."""
+answer to the reference's untested DDP — SURVEY.md §4).
+
+Note: this environment pre-registers a TPU PJRT plugin and pins
+JAX_PLATFORMS in the ambient env, so the env var alone is not enough —
+``jax.config.update("jax_platforms", "cpu")`` is the authoritative override.
+"""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before the first backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +19,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got "
+    f"{jax.devices()[0].platform}"
+)
+assert len(jax.devices()) == 8

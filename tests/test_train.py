@@ -1,0 +1,264 @@
+"""Training-system tests: losses, schedules, train step (single and
+8-device shard_map), embedding cache, checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crnerf_tpu.config import Config
+from crnerf_tpu.data import make_synthetic_scene, TrainPipeline
+from crnerf_tpu.render.system import CrNerfSystem
+from crnerf_tpu.train.losses import (
+    ExponentialAnnealingWeight,
+    crnerf_loss,
+)
+from crnerf_tpu.train.optim import make_lr_schedule, make_optimizer
+from crnerf_tpu.train.state import TrainState
+from crnerf_tpu.train.step import make_train_step
+
+
+TINY = dict(
+    batch_size=16, N_samples=4, N_importance=4, netdepth=2, netwidth=16,
+    nerf_out_dim=8, N_vocab=8, appearance_wh=(32, 24), noise_std=0.0,
+)
+
+
+def _setup(cfg):
+    system = CrNerfSystem(cfg)
+    variables = system.init(jax.random.PRNGKey(0))
+    tx, sched = make_optimizer(cfg, iters_per_epoch=10)
+    state = TrainState.create(
+        variables, tx.init(variables["params"]),
+        n_vocab=cfg.N_vocab, embed_hw=32, embed_c=cfg.nerf_out_dim,
+        rng=jax.random.PRNGKey(1),
+    )
+    return system, tx, sched, state
+
+
+def _batch(cfg, seed=0):
+    rng = np.random.RandomState(seed)
+    b = cfg.batch_size
+    wa, ha = cfg.appearance_wh
+    d = rng.randn(b, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    gh = cfg.grid_hw
+    uv = np.stack(np.meshgrid(
+        np.linspace(0.1, 0.9, gh), np.linspace(0.1, 0.9, gh),
+        indexing="ij"), -1).reshape(-1, 2)
+    return {
+        "rays": np.concatenate(
+            [rng.randn(b, 3), d, np.full((b, 1), 0.5),
+             np.full((b, 1), 4.0)], -1
+        ).astype(np.float32),
+        "ts": np.full((b,), 3, np.int32),
+        "rgbs": rng.uniform(0, 1, (b, 3)).astype(np.float32),
+        "whole_img": rng.uniform(-1, 1, (1, ha, wa, 3)).astype(np.float32),
+        "uv_pix": uv.astype(np.float32),
+    }
+
+
+class TestLosses:
+    def test_annealing(self):
+        w = ExponentialAnnealingWeight(5e-2, 6e-3, 1e-3)
+        assert float(w(0)) == pytest.approx(5e-2)
+        assert float(w(10**7)) == pytest.approx(6e-3)
+        assert float(w(1000)) == pytest.approx(
+            max(6e-3, 5e-2 * np.exp(-1.0)), rel=1e-5
+        )
+
+    def test_terms_present(self):
+        n = 16
+        rng = np.random.RandomState(0)
+        results = {
+            "a_embedded": jnp.asarray(rng.randn(1, 32, 32, 8)),
+            "a_embedded_random": jnp.asarray(rng.randn(1, 32, 32, 8)),
+            "a_embedded_random_rec": jnp.asarray(rng.randn(1, 32, 32, 8)),
+            "rgb_coarse": jnp.asarray(rng.uniform(0, 1, (n, 3))),
+            "rgb_fine": jnp.asarray(rng.uniform(0, 1, (n, 3))),
+            "out_mask": jnp.asarray(rng.uniform(0, 1, (n, 1))),
+            "content_with_a_embed": jnp.asarray(rng.randn(1, 32, 32, 8)),
+            "content_wo_a_embed": jnp.asarray(rng.randn(1, 32, 32, 8)),
+        }
+        targets = jnp.asarray(rng.uniform(0, 1, (n, 3)))
+        d, aw = crnerf_loss(results, targets, 0)
+        assert set(d) == {
+            "kl_a", "rec_a_random", "c_l", "f_l", "r_ms", "r_md",
+            "content_constraint",
+        }
+        for v in d.values():
+            assert np.isfinite(float(v))
+
+    def test_mask_downweights(self):
+        n = 8
+        rng = np.random.RandomState(0)
+        pred = jnp.asarray(rng.uniform(0, 1, (n, 3)))
+        gt = jnp.asarray(rng.uniform(0, 1, (n, 3)))
+        base = {"rgb_coarse": pred}
+        no_mask, _ = crnerf_loss(base, gt, 0)
+        full_mask, _ = crnerf_loss(
+            {**base, "out_mask": jnp.ones((n, 1))}, gt, 0
+        )
+        assert float(full_mask["c_l"]) == pytest.approx(0.0, abs=1e-9)
+        assert float(no_mask["c_l"]) > 0
+
+
+class TestSchedules:
+    def test_cosine_endpoints(self):
+        cfg = Config(lr=1e-3, num_epochs=10, lr_scheduler="cosine")
+        s = make_lr_schedule(cfg, iters_per_epoch=100)
+        assert float(s(0)) == pytest.approx(1e-3)
+        assert float(s(999)) < 1e-4
+
+    def test_steplr(self):
+        cfg = Config(lr=1e-3, lr_scheduler="steplr", decay_step=(2, 4),
+                     decay_gamma=0.1)
+        s = make_lr_schedule(cfg, iters_per_epoch=10)
+        assert float(s(0)) == pytest.approx(1e-3)
+        assert float(s(25)) == pytest.approx(1e-4)
+        assert float(s(45)) == pytest.approx(1e-5)
+
+    def test_warmup(self):
+        cfg = Config(lr=1e-3, warmup_epochs=2, warmup_multiplier=2.0,
+                     num_epochs=10)
+        s = make_lr_schedule(cfg, iters_per_epoch=10)
+        assert float(s(0)) == pytest.approx(1e-3)
+        assert float(s(20)) == pytest.approx(2e-3, rel=1e-3)
+
+
+class TestTrainStep:
+    def test_loss_decreases_and_cache_written(self):
+        cfg = Config(**TINY)
+        system, tx, sched, state = _setup(cfg)
+        step = jax.jit(make_train_step(system, tx, sched))
+        b = jax.tree.map(jnp.asarray, _batch(cfg))
+        losses = []
+        for i in range(8):
+            state, m = step(state, b)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert bool(state.embedding_valid[3])
+        assert not bool(state.embedding_valid[0])
+        assert int(state.step) == 8
+
+    def test_metrics_keys(self):
+        cfg = Config(**TINY)
+        system, tx, sched, state = _setup(cfg)
+        step = jax.jit(make_train_step(system, tx, sched))
+        _, m = step(state, jax.tree.map(jnp.asarray, _batch(cfg)))
+        for k in ("loss", "psnr", "lr", "annealing_weight"):
+            assert k in m
+        assert any(k.startswith("loss/") for k in m)
+
+    def test_no_mask_no_appearance_branch(self):
+        cfg = Config(**TINY).replace(
+            use_mask=False, encode_a=False, encode_random=False
+        )
+        system, tx, sched, state = _setup(cfg)
+        step = jax.jit(make_train_step(system, tx, sched))
+        b = _batch(cfg)
+        state, m = step(state, jax.tree.map(jnp.asarray, b))
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestShardedTrainStep:
+    def test_eight_device_parity_and_cache_allgather(self):
+        from crnerf_tpu.parallel.mesh import (
+            DATA_AXIS, make_mesh, put_global_batch, put_replicated,
+            shard_train_step,
+        )
+
+        cfg = Config(**TINY)
+        system, tx, sched, state = _setup(cfg)
+        mesh = make_mesh(8)
+        state = put_replicated(state, mesh)
+        step = shard_train_step(
+            make_train_step(system, tx, sched, axis_name=DATA_AXIS),
+            mesh, donate_state=False,
+        )
+        parts = [_batch(cfg, seed=s) for s in range(8)]
+        batch = {
+            k: np.stack([p[k] for p in parts]) for k in parts[0]
+        }
+        for d in range(8):
+            batch["ts"][d, :] = d  # distinct image per device
+        batch = put_global_batch(batch, mesh)
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["loss"]))
+        # every device's cache write must land on all replicas
+        assert int(jax.device_get(state.embedding_valid).sum()) == 8
+
+    def test_replicas_stay_identical(self):
+        from crnerf_tpu.parallel.mesh import (
+            DATA_AXIS, make_mesh, put_global_batch, put_replicated,
+            shard_train_step,
+        )
+
+        cfg = Config(**TINY)
+        system, tx, sched, state = _setup(cfg)
+        mesh = make_mesh(4)
+        state = put_replicated(state, mesh)
+        step = shard_train_step(
+            make_train_step(system, tx, sched, axis_name=DATA_AXIS),
+            mesh, donate_state=False,
+        )
+        parts = [_batch(cfg, seed=s) for s in range(4)]
+        batch = put_global_batch(
+            {k: np.stack([p[k] for p in parts]) for k in parts[0]}, mesh
+        )
+        for _ in range(2):
+            state, _ = step(state, batch)
+        # params are replicated: gathering shards must agree
+        leaf = jax.tree.leaves(state.params)[0]
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from crnerf_tpu.utils.checkpoint import (
+            CheckpointManager, load_weights_only, save_weights_only,
+        )
+
+        cfg = Config(**TINY)
+        system, tx, sched, state = _setup(cfg)
+        step = jax.jit(make_train_step(system, tx, sched))
+        state, _ = step(state, jax.tree.map(jnp.asarray, _batch(cfg)))
+
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        host = jax.device_get(state)
+        mgr.save(1, host)
+        assert mgr.latest_step() == 1
+        restored = mgr.restore(host)
+        np.testing.assert_array_equal(
+            np.asarray(restored.step), np.asarray(host.step)
+        )
+        a = jax.tree.leaves(host.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # embedding cache checkpointed (the reference loses it)
+        np.testing.assert_array_equal(
+            np.asarray(restored.embedding_valid),
+            np.asarray(host.embedding_valid),
+        )
+        mgr.close()
+
+        p = str(tmp_path / "weights.npz")
+        save_weights_only(host, p)
+        v = load_weights_only(p)
+        assert "nerf_coarse" in v["params"]
+        np.testing.assert_array_equal(
+            v["params"]["nerf_coarse"]["sigma"]["kernel"],
+            np.asarray(host.params["nerf_coarse"]["sigma"]["kernel"]),
+        )
+
+    def test_load_selective(self):
+        from crnerf_tpu.utils.checkpoint import load_selective
+
+        fresh = {"nerf_coarse": {"w": np.zeros(2)}, "decoder": {"w": np.zeros(2)}}
+        ckpt = {"nerf_coarse": {"w": np.ones(2)}, "loss": {"w": np.ones(2)}}
+        out = load_selective(fresh, ckpt, prefixes_to_ignore=("loss",))
+        np.testing.assert_array_equal(out["nerf_coarse"]["w"], np.ones(2))
+        np.testing.assert_array_equal(out["decoder"]["w"], np.zeros(2))
