@@ -95,6 +95,7 @@ def render_rays(
     test_time: bool = False,
     pertube_cord: bool = False,
     remat: bool = True,
+    fused_opts: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, jax.Array]:
     """Returns {feature_coarse, depth_coarse, weights_coarse, and (if
     n_importance>0) feature_fine, depth_fine, weights_fine, z_fine}.
@@ -108,6 +109,12 @@ def render_rays(
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     dir_emb = posenc(rays_d, n_emb_dir)
+    fused = None
+    if fused_opts is not None:
+        # Pallas fused PE+MLP path (inference only: no VJP)
+        fused = dict(fused_opts)
+        fused.setdefault("n_emb_dir", n_emb_dir)
+        fused["raw_dirs"] = rays_d
 
     z_vals = stratified_zvals(near, far, n_samples, use_disp)
     if perturb > 0 and not test_time:
@@ -117,7 +124,7 @@ def render_rays(
     noise = 0.0 if test_time else noise_std
     feats_c, sigmas_c = _eval_mlp(
         apply_coarse, params["coarse"], xyz, dir_emb, n_emb_xyz, remat,
-        kp_c if pertube_cord else None,
+        kp_c if pertube_cord else None, fused=fused,
     )
     w_c, fmap_c, depth_c = composite(
         feats_c, sigmas_c, z_vals, noise, kn_c if noise > 0 else None
@@ -139,7 +146,7 @@ def render_rays(
     xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
     feats_f, sigmas_f = _eval_mlp(
         apply_fine, params["fine"], xyz_f, dir_emb, n_emb_xyz, remat,
-        kp_f if pertube_cord else None,
+        kp_f if pertube_cord else None, fused=fused,
     )
     w_f, fmap_f, depth_f = composite(
         feats_f, sigmas_f, z_all, noise, kn_f if noise > 0 else None

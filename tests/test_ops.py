@@ -80,3 +80,80 @@ class TestFusedMlp:
                               compute_dtype=jnp.bfloat16)
         # bf16 matmuls with fp32 accumulation: loose but bounded
         assert float(jnp.abs(ker - ref).max()) < 0.05
+
+
+class TestCompositeKernel:
+    def _data(self, n=300, s=20, c=48):
+        import jax
+
+        feats = jax.random.uniform(jax.random.PRNGKey(0), (n, s, c))
+        sigmas = jax.random.uniform(jax.random.PRNGKey(1), (n, s)) * 3
+        z = jnp.sort(
+            jax.random.uniform(jax.random.PRNGKey(2), (n, s)) * 5 + 0.5,
+            axis=-1,
+        )
+        return feats, sigmas, z
+
+    def test_matches_jnp_reference(self):
+        from crnerf_tpu.core.compositing import composite
+        from crnerf_tpu.ops.composite import composite_pallas
+
+        feats, sigmas, z = self._data()
+        w_ref, f_ref, d_ref = composite(feats, sigmas, z)
+        w_k, f_k, d_k = composite_pallas(
+            feats, sigmas, z, ray_tile=128, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_ref),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_ref),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_ref),
+                                   atol=1e-5)
+
+    def test_weights_bounded(self):
+        from crnerf_tpu.ops.composite import composite_pallas
+
+        feats, sigmas, z = self._data(n=64, s=16, c=8)
+        w, f, d = composite_pallas(feats, sigmas, z, ray_tile=64,
+                                   interpret=True)
+        ws = np.asarray(w).sum(-1)
+        assert (ws <= 1 + 1e-5).all() and (ws >= 0).all()
+
+
+class TestFusedRendererPath:
+    def test_render_rays_fused_matches_flax(self):
+        """render_rays with the fused kernel (interpret) == flax path at
+        test time."""
+        import jax
+
+        from crnerf_tpu.render.renderer import render_rays
+
+        mlp, v, _, _ = _setup_mlp(out_dim=16, depth=4, width=64)
+        params = {"coarse": v["params"], "fine": v["params"]}
+        apply_fn = lambda p, x, d: mlp.apply({"params": p}, x, d)  # noqa
+
+        n = 40
+        o = jax.random.normal(jax.random.PRNGKey(3), (n, 3))
+        d = jax.random.normal(jax.random.PRNGKey(4), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.concatenate(
+            [o, d, jnp.full((n, 1), 0.5), jnp.full((n, 1), 4.0)], -1
+        )
+        kw = dict(n_samples=8, n_importance=8, test_time=True,
+                  perturb=0.0, noise_std=0.0)
+        ref = render_rays(apply_fn, apply_fn, params, rays,
+                          jax.random.PRNGKey(0), **kw)
+        fused = render_rays(
+            apply_fn, apply_fn, params, rays, jax.random.PRNGKey(0),
+            fused_opts={"n_emb_dir": 4, "depth": 4, "tile": 128,
+                        "interpret": True},
+            **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused["feature_fine"]),
+            np.asarray(ref["feature_fine"]), atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused["depth_fine"]),
+            np.asarray(ref["depth_fine"]), atol=5e-4,
+        )
