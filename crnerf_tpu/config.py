@@ -112,6 +112,8 @@ class Config:
     donate_state: bool = True
     norm: str = "batch"  # CGNet norm: 'batch' (reference fidelity) | 'group'
     video_format: str = "gif"  # gif | mp4
+    profile: bool = False  # capture an XLA/Perfetto trace of train steps
+    profile_steps: Tuple[int, int] = (10, 15)  # [start, stop) global steps
 
     # ------------------------------------------------------------------
     @property
@@ -153,7 +155,7 @@ class Config:
 _BOOL_FIELDS = {
     "use_cache", "testit", "use_disp", "pertube_cord", "use_residual",
     "encode_a", "encode_c", "encode_random", "use_mask", "mse_on_appearance",
-    "use_pallas", "remat", "donate_state",
+    "use_pallas", "remat", "donate_state", "profile",
 }
 
 

@@ -52,7 +52,10 @@ def _shade(rays_o, rays_d, tint, sphere_c, sphere_r, light_dir):
     )
     rgb[:] = sky
 
-    # ground plane y = -sphere_r (checker)
+    # ground plane y = -sphere_r. A smooth low-frequency texture — a hard
+    # checkerboard would alias under point sampling and cap achievable
+    # PSNR around a 3x3 blur (~17 dB), hiding real convergence signal in
+    # train-to-PSNR tests.
     denom = rays_d[:, 1]
     tp = (-sphere_r - rays_o[:, 1]) / np.where(
         np.abs(denom) < 1e-9, 1e-9, denom
@@ -60,8 +63,9 @@ def _shade(rays_o, rays_d, tint, sphere_c, sphere_r, light_dir):
     hit_p = (tp > 1e-3) & (denom < 0)
     px = rays_o[:, 0] + tp * rays_d[:, 0]
     pz = rays_o[:, 2] + tp * rays_d[:, 2]
-    checker = ((np.floor(px) + np.floor(pz)) % 2).astype(np.float64)
-    ground = 0.25 + 0.5 * checker
+    ground = 0.45 + 0.25 * np.sin(0.9 * px) * np.cos(0.9 * pz)
+    fade = np.exp(-0.02 * (px ** 2 + pz ** 2))  # fade far plane to grey
+    ground = 0.4 * (1 - fade) + ground * fade
     for c in range(3):
         rgb[hit_p, c] = ground[hit_p]
 

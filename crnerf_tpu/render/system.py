@@ -218,6 +218,20 @@ class CrNerfSystem:
                 out_mask = resize_bilinear(mask_small, hw).reshape(-1, 1)
             results["out_mask"] = out_mask
 
+        fused_opts = None
+        if (
+            not train
+            and cfg.use_pallas
+            and jax.default_backend() == "tpu"
+        ):
+            # inference rides the fused Pallas PE+MLP kernel (no VJP needed)
+            fused_opts = {
+                "n_emb_dir": cfg.N_emb_dir,
+                "depth": cfg.netdepth,
+                "tile": 1024,
+                "compute_dtype": jnp.bfloat16
+                if cfg.compute_dtype == "bfloat16" else jnp.float32,
+            }
         render_kw = dict(
             n_samples=cfg.N_samples,
             n_importance=cfg.N_importance,
@@ -229,6 +243,7 @@ class CrNerfSystem:
             test_time=not train,
             pertube_cord=cfg.pertube_cord and train,
             remat=cfg.remat,
+            fused_opts=fused_opts,
         )
         apply_fine = self._apply_fine if self.m.fine is not None else None
         ray_params = {

@@ -130,8 +130,25 @@ class Trainer:
                     batch = put_global_batch(batch, self.mesh)
                 else:
                     batch = jax.tree.map(jnp.asarray, batch)
+                if (
+                    cfg.profile
+                    and global_step == cfg.profile_steps[0]
+                    and jax.process_index() == 0
+                ):
+                    # XLA/Perfetto trace (SURVEY.md §5.1: the reference only
+                    # has Lightning's 'simple' profiler)
+                    jax.profiler.start_trace(
+                        os.path.join(cfg.save_dir, "traces", cfg.exp_name)
+                    )
                 self.state, metrics = self.step_fn(self.state, batch)
                 global_step += 1
+                if (
+                    cfg.profile
+                    and global_step == cfg.profile_steps[1]
+                    and jax.process_index() == 0
+                ):
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
                 n_rays_done += cfg.batch_size * self.n_devices
                 if self.logger and global_step % cfg.log_every == 0:
                     m = {f"train/{k}" if "/" not in k else k: v

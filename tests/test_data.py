@@ -307,3 +307,20 @@ class TestBlender:
         assert not np.allclose(out1, img)
         occ = add_perturbation(img, ("occ",), 3)
         assert not np.allclose(occ, img)
+
+
+class TestPfm:
+    def test_roundtrip_gray_and_color(self, tmp_path):
+        from crnerf_tpu.data.pfm import read_pfm, save_pfm
+
+        rng = np.random.RandomState(0)
+        gray = rng.uniform(0, 10, (12, 9)).astype(np.float32)
+        save_pfm(str(tmp_path / "g.pfm"), gray)
+        back, scale = read_pfm(str(tmp_path / "g.pfm"))
+        np.testing.assert_array_equal(back, gray)
+
+        color = rng.uniform(0, 1, (7, 5, 3)).astype(np.float32)
+        save_pfm(str(tmp_path / "c.pfm"), color, scale=2.0)
+        back, scale = read_pfm(str(tmp_path / "c.pfm"))
+        np.testing.assert_array_equal(back, color)
+        assert scale == 2.0
