@@ -38,6 +38,7 @@ def main():
         cfg = Config(
             appearance_wh=(224, 160),
             compute_dtype="bfloat16",
+            grids_per_step=8,  # reference --num_gpus 8 semantics on 1 chip
         )
     else:  # CI fallback so the line always prints
         cfg = Config(
@@ -63,25 +64,37 @@ def main():
         embed_c=cfg.nerf_out_dim,
         rng=jax.random.PRNGKey(1),
     )
+    grids = max(1, cfg.grids_per_step)
     step_fn = jax.jit(
-        make_train_step(system, tx, sched), donate_argnums=(0,)
+        make_train_step(system, tx, sched, grids_per_step=grids),
+        donate_argnums=(0,),
     )
 
-    batches = [
-        jax.tree.map(np.asarray, pipe.make_batch(0, i))
-        for i in range(8)
-    ]
+    if grids > 1:
+        batches = [
+            jax.tree.map(
+                np.asarray, pipe.make_global_batch(0, i, grids)
+            )
+            for i in range(8)
+        ]
+    else:
+        batches = [
+            jax.tree.map(np.asarray, pipe.make_batch(0, i))
+            for i in range(8)
+        ]
     for i in range(WARMUP):
         state, metrics = step_fn(state, batches[i % len(batches)])
     jax.block_until_ready(metrics)
 
+    # steps chain through the donated state -> genuinely sequential on
+    # device (independent-call timing is unreliable through the TPU tunnel)
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, metrics = step_fn(state, batches[i % len(batches)])
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
 
-    rays_per_sec = cfg.batch_size * STEPS / dt
+    rays_per_sec = cfg.batch_size * grids * STEPS / dt
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),

@@ -74,6 +74,9 @@ class Config:
 
     # ---- runtime (opt.py:116-134) ----
     batch_size: int = 1024  # rays per grid; must be a perfect square
+    grids_per_step: int = 1  # independent image grids per device per step
+    # (vmapped; == the reference's --num_gpus DDP semantics folded onto one
+    # chip — feeds the MXU enough points to saturate it)
     chunk: int = 8 * 1024  # eval-time ray tile size (lax.map tile)
     num_epochs: int = 20
     num_devices: int = 0  # 0 = use all local devices (reference --num_gpus)

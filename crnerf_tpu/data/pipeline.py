@@ -90,12 +90,19 @@ class TrainPipeline:
         n_devices: int = 1,
         prefetch: int = 2,
         n_steps: Optional[int] = None,
+        grids_per_device: int = 1,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Thread-prefetched global batches for one epoch. Host assembly
         (gather from the flat ray buffer) overlaps device compute —
-        the TPU-native version of the reference's 4 DataLoader workers."""
+        the TPU-native version of the reference's 4 DataLoader workers.
+
+        Shapes: flat (B, ...) when n_devices == grids_per_device == 1;
+        (G, B, ...) single-device multi-grid; (D, B...) multi-device; and
+        (D, G, B, ...) for both."""
+        g = max(1, grids_per_device)
+        total = n_devices * g
         if n_steps is None:
-            n_steps = max(1, self.iterations // max(1, n_devices))
+            n_steps = max(1, self.iterations // max(1, total))
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
@@ -103,8 +110,13 @@ class TrainPipeline:
             for i in range(n_steps):
                 if stop.is_set():
                     return
-                if n_devices > 1:
-                    b = self.make_global_batch(epoch, i, n_devices)
+                if total > 1:
+                    b = self.make_global_batch(epoch, i, total)
+                    if n_devices > 1 and g > 1:
+                        b = {
+                            k: v.reshape(n_devices, g, *v.shape[1:])
+                            for k, v in b.items()
+                        }
                 else:
                     b = self.make_batch(epoch, i)
                 q.put(b)

@@ -280,6 +280,19 @@ def fused_mlp_apply(
 
     weight_args += [sigma_w, sigma_b, final_w, final_b, dir_w, dir_b,
                     feat_w, feat_b]
+    if compute_dtype != jnp.float32:
+        # pre-cast weight MATRICES once at trace time — casting 0.6M values
+        # inside the kernel would repeat per grid step. sigma_w (index -8)
+        # stays fp32 (sigma path is precision-sensitive); biases stay fp32
+        # (added to fp32 accumulators).
+        cast = []
+        for i, w in enumerate(weight_args):
+            is_bias = w.shape[0] == 1
+            is_sigma_w = i == len(weight_args) - 8
+            cast.append(
+                w if (is_bias or is_sigma_w) else w.astype(compute_dtype)
+            )
+        weight_args = cast
 
     out_cols = _round_up(c_out + 1, 128)
     kernel = _make_kernel(

@@ -61,8 +61,9 @@ class Trainer:
         )
         self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
         self.n_devices = self.mesh.devices.size
+        self.grids = max(1, cfg.grids_per_step)
         self.iters_per_epoch = max(
-            1, self.pipeline.iterations // self.n_devices
+            1, self.pipeline.iterations // (self.n_devices * self.grids)
         )
         if cfg.testit:  # smoke mode: 1 step per epoch (opt.py:40-41)
             self.iters_per_epoch = 1
@@ -85,7 +86,8 @@ class Trainer:
 
         axis = DATA_AXIS if self.n_devices > 1 else None
         step_local = make_train_step(self.system, self.tx, self.lr_sched,
-                                     axis_name=axis)
+                                     axis_name=axis,
+                                     grids_per_step=self.grids)
         if self.n_devices > 1:
             self.step_fn = shard_train_step(
                 step_local, self.mesh, donate_state=cfg.donate_state
@@ -124,7 +126,8 @@ class Trainer:
             t_ep = time.time()
             n_rays_done = 0
             for batch in self.pipeline.epoch_batches(
-                epoch, self.n_devices, n_steps=self.iters_per_epoch
+                epoch, self.n_devices, n_steps=self.iters_per_epoch,
+                grids_per_device=self.grids,
             ):
                 if self.n_devices > 1:
                     batch = put_global_batch(batch, self.mesh)
@@ -149,7 +152,9 @@ class Trainer:
                 ):
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
-                n_rays_done += cfg.batch_size * self.n_devices
+                n_rays_done += (
+                    cfg.batch_size * self.n_devices * self.grids
+                )
                 if self.logger and global_step % cfg.log_every == 0:
                     m = {f"train/{k}" if "/" not in k else k: v
                          for k, v in jax.device_get(metrics).items()}

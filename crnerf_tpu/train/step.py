@@ -47,13 +47,25 @@ def _select_random_embedding(key, state: TrainState):
 
 
 def make_train_step(system: CrNerfSystem, tx, lr_sched,
-                    axis_name: Optional[str] = None):
-    """Build the pure train-step function. ``axis_name`` set -> gradients are
-    psum-averaged and embedding-cache writes are all-gathered over that mesh
-    axis (call inside shard_map)."""
+                    axis_name: Optional[str] = None,
+                    grids_per_step: int = 1):
+    """Build the pure train-step function.
+
+    ``axis_name`` set -> gradients are psum-averaged and embedding-cache
+    writes are all-gathered over that mesh axis (call inside shard_map).
+
+    ``grids_per_step`` G > 1 -> every batch leaf carries a leading G axis of
+    INDEPENDENT image grids, vmapped through the forward with the losses
+    averaged. Semantically this is the reference's ``--num_gpus G`` DDP run
+    (G per-rank grids, grad all-reduce — train…py:445-447) folded onto
+    fewer chips; practically it is how a single TPU chip gets fed enough
+    points to saturate the MXU (1024 rays x 192 samples is far below
+    one chip's FLOP capacity).
+    """
     cfg = system.cfg
 
-    def loss_fn(params, state: TrainState, batch, key, a_rand, has_any):
+    def one_grid_loss(params, state: TrainState, batch, key, a_rand,
+                      has_any):
         variables = {"params": params, "batch_stats": state.batch_stats}
         kf, = jax.random.split(key, 1)
         results, new_bs = system.forward(
@@ -83,6 +95,27 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
         }
         return total, aux
 
+    def loss_fn(params, state: TrainState, batch, key, a_rand, has_any):
+        if grids_per_step == 1:
+            return one_grid_loss(params, state, batch, key, a_rand,
+                                 has_any)
+        keys = jax.random.split(key, grids_per_step)
+        totals, aux = jax.vmap(
+            one_grid_loss, in_axes=(None, None, 0, 0, 0, None)
+        )(params, state, batch, keys, a_rand, has_any)
+        # average the per-grid scalars (grad of mean == DDP pmean);
+        # BN stats likewise averaged across grids (the DP pmean analog)
+        mean_aux = {
+            "loss_d": jax.tree.map(jnp.mean, aux["loss_d"]),
+            "aw": jnp.mean(aux["aw"]),
+            "psnr": jnp.mean(aux["psnr"]),
+            "new_bs": None if aux["new_bs"] is None else jax.tree.map(
+                lambda x: jnp.mean(x, axis=0), aux["new_bs"]
+            ),
+            "a_embedded": aux["a_embedded"],  # keep per-grid (G, 1, ...)
+        }
+        return jnp.mean(totals), mean_aux
+
     def train_step(state: TrainState, batch: Dict[str, jax.Array]
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, kstep, ksel = jax.random.split(state.rng, 3)
@@ -91,7 +124,14 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
             kstep = jax.random.fold_in(kstep, jax.lax.axis_index(axis_name))
             ksel = jax.random.fold_in(ksel, jax.lax.axis_index(axis_name))
 
-        a_rand, has_any = _select_random_embedding(ksel, state)
+        if grids_per_step > 1:
+            sel_keys = jax.random.split(ksel, grids_per_step)
+            a_rand, has_any = jax.vmap(
+                _select_random_embedding, in_axes=(0, None)
+            )(sel_keys, state)
+            has_any = has_any[0]  # same cache on every grid
+        else:
+            a_rand, has_any = _select_random_embedding(ksel, state)
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state, batch, kstep, a_rand, has_any
         )
@@ -106,26 +146,34 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
 
         new_cache, new_valid = state.embedding_cache, state.embedding_valid
         if cfg.encode_a and cfg.encode_random:
-            ts0 = batch["ts"][0]
-            emb = jax.lax.stop_gradient(aux["a_embedded"])[0].astype(
-                state.embedding_cache.dtype
-            )
-            if axis_name is not None:
-                all_ts = jax.lax.all_gather(ts0, axis_name)        # (D,)
-                all_emb = jax.lax.all_gather(emb, axis_name)       # (D,...)
-
-                def write(i, cv):
-                    c, v = cv
-                    c = c.at[all_ts[i]].set(all_emb[i])
-                    v = v.at[all_ts[i]].set(True)
-                    return c, v
-
-                new_cache, new_valid = jax.lax.fori_loop(
-                    0, all_ts.shape[0], write, (new_cache, new_valid)
-                )
+            a_emb = jax.lax.stop_gradient(aux["a_embedded"])
+            if grids_per_step > 1:
+                loc_ts = batch["ts"][:, 0]                    # (G,)
+                loc_emb = a_emb[:, 0].astype(
+                    state.embedding_cache.dtype
+                )                                             # (G, 32, 32, C)
             else:
-                new_cache = new_cache.at[ts0].set(emb)
-                new_valid = new_valid.at[ts0].set(True)
+                loc_ts = batch["ts"][0][None]
+                loc_emb = a_emb[0][None].astype(
+                    state.embedding_cache.dtype
+                )
+            if axis_name is not None:
+                loc_ts = jax.lax.all_gather(
+                    loc_ts, axis_name
+                ).reshape(-1)                                  # (D*G,)
+                loc_emb = jax.lax.all_gather(
+                    loc_emb, axis_name
+                ).reshape(-1, *loc_emb.shape[1:])              # (D*G, ...)
+
+            def write(i, cv):
+                c, v = cv
+                c = c.at[loc_ts[i]].set(loc_emb[i])
+                v = v.at[loc_ts[i]].set(True)
+                return c, v
+
+            new_cache, new_valid = jax.lax.fori_loop(
+                0, loc_ts.shape[0], write, (new_cache, new_valid)
+            )
 
         new_bs = aux["new_bs"] if aux["new_bs"] is not None else (
             state.batch_stats

@@ -195,3 +195,48 @@ class TestGraftEntry:
         out = jax.jit(fn)(variables, batch, jax.random.PRNGKey(2))
         assert out.shape == (cfg.batch_size, 3)
         assert bool(jax.numpy.isfinite(out).all())
+
+
+class TestTrainerResume:
+    def test_fit_checkpoint_resume(self, tmp_path):
+        """Train 1 epoch, checkpoint, build a FRESH trainer pointed at the
+        checkpoint dir, confirm step/params/cache restore (the reference
+        loses its embedding list on resume — SURVEY.md §2.7)."""
+        import jax
+        import numpy as np
+
+        from crnerf_tpu.data import make_synthetic_scene
+        from crnerf_tpu.train.loop import Trainer
+
+        cfg = Config(
+            batch_size=16, N_samples=4, N_importance=4, netdepth=2,
+            netwidth=16, nerf_out_dim=8, N_vocab=10,
+            appearance_wh=(32, 24), chunk=256, num_epochs=1, lr=5e-4,
+            save_dir=str(tmp_path), exp_name="resume", log_every=1000,
+            dataset_name="synthetic", num_devices=1,
+        )
+        scene = make_synthetic_scene(
+            appearance_wh=(32, 24), img_wh=(24, 18), n_train=2, n_test=1
+        )
+        tr = Trainer(cfg, scene)
+        tr.fit()
+        step0 = int(jax.device_get(tr.state.step))
+        valid0 = np.asarray(jax.device_get(tr.state.embedding_valid))
+        leaf0 = np.asarray(
+            jax.device_get(jax.tree.leaves(tr.state.params)[0])
+        )
+        assert step0 > 0 and valid0.sum() > 0
+
+        ckpt_dir = tr.ckpt.directory
+        tr.ckpt.close()
+        tr2 = Trainer(cfg.replace(ckpt_path=ckpt_dir), scene)
+        assert int(jax.device_get(tr2.state.step)) == step0
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(tr2.state.embedding_valid)), valid0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(jax.tree.leaves(tr2.state.params)[0])),
+            leaf0,
+        )
+        # resumed fit() continues rather than restarting epoch 0
+        assert tr2.fit() is not None

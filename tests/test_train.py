@@ -262,3 +262,41 @@ class TestCheckpoint:
         out = load_selective(fresh, ckpt, prefixes_to_ignore=("loss",))
         np.testing.assert_array_equal(out["nerf_coarse"]["w"], np.ones(2))
         np.testing.assert_array_equal(out["decoder"]["w"], np.zeros(2))
+
+
+class TestGridsPerStep:
+    def test_multigrid_step_runs_and_writes_cache(self):
+        cfg = Config(**TINY)
+        system, tx, sched, state = _setup(cfg)
+        G = 3
+        step = jax.jit(make_train_step(system, tx, sched, grids_per_step=G))
+        parts = [_batch(cfg, seed=s) for s in range(G)]
+        batch = {k: np.stack([p[k] for p in parts]) for k in parts[0]}
+        for g in range(G):
+            batch["ts"][g, :] = g + 1  # distinct image per grid
+        state, m = step(state, jax.tree.map(jnp.asarray, batch))
+        assert np.isfinite(float(m["loss"]))
+        # all G appearance embeddings cached
+        assert int(np.asarray(state.embedding_valid).sum()) == G
+
+    def test_multigrid_matches_mean_of_singles_at_init(self):
+        """One multigrid loss == mean of single-grid losses (same params,
+        no appearance-random branch to decorrelate)."""
+        cfg = Config(**TINY).replace(encode_random=False, use_mask=False,
+                                     perturb=0.0)
+        system, tx, sched, state = _setup(cfg)
+        G = 2
+        parts = [_batch(cfg, seed=s) for s in range(G)]
+        singles = []
+        step1 = jax.jit(make_train_step(system, tx, sched))
+        for p in parts:
+            _, m = step1(state, jax.tree.map(jnp.asarray, p))
+            singles.append(float(m["loss"]))
+        stepG = jax.jit(make_train_step(system, tx, sched, grids_per_step=G))
+        batch = {k: np.stack([p[k] for p in parts]) for k in parts[0]}
+        _, mg = stepG(state, jax.tree.map(jnp.asarray, batch))
+        # same RNG stream differs per path; with perturb=0, noise_std=0 the
+        # forward is deterministic -> exact mean
+        assert float(mg["loss"]) == pytest.approx(
+            float(np.mean(singles)), rel=1e-5
+        )
