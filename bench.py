@@ -38,7 +38,8 @@ def main():
         cfg = Config(
             appearance_wh=(224, 160),
             compute_dtype="bfloat16",
-            grids_per_step=8,  # reference --num_gpus 8 semantics on 1 chip
+            grids_per_step=16,  # reference --num_gpus 16 semantics on one
+            # chip; G=32 exceeds v5e HBM (measured 2026-08-16)
         )
     else:  # CI fallback so the line always prints
         cfg = Config(
