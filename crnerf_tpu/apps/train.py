@@ -16,6 +16,12 @@ from crnerf_tpu.utils.logging import MetricLogger, save_code
 
 
 def main(argv: Optional[Sequence[str]] = None):
+    if os.environ.get("CRNERF_MULTIHOST"):
+        # multi-host pod: one process per host over DCN; the data mesh then
+        # spans all processes (SURVEY.md §2.9 — the reference's multi-node
+        # story was Lightning DDP; here it is jax.distributed + the same
+        # shard_map train step)
+        jax.distributed.initialize()
     cfg = get_config(argv)
     scene = load_scene_from_config(cfg, split="train")
 

@@ -52,6 +52,10 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--N_importance", type=int, default=256)
     p.add_argument("--chunk", type=int, default=8192)
     p.add_argument("--n_frames", type=int, default=240)
+    # architecture knobs must match the checkpoint
+    p.add_argument("--netdepth", type=int, default=8)
+    p.add_argument("--netwidth", type=int, default=256)
+    p.add_argument("--nerf_out_dim", type=int, default=64)
     p.add_argument("--appearance_wh", nargs=2, type=int,
                    default=[224, 160])
     p.add_argument("--video_format", choices=["gif", "mp4"], default="gif")
@@ -65,6 +69,9 @@ def main(argv: Optional[Sequence[str]] = None):
         N_importance=args.N_importance,
         chunk=args.chunk,
         appearance_wh=tuple(args.appearance_wh),
+        netdepth=args.netdepth,
+        netwidth=args.netwidth,
+        nerf_out_dim=args.nerf_out_dim,
         use_mask=False,  # demo decodes style only (appearance…video.py)
         encode_random=False,
     )
