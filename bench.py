@@ -1,13 +1,22 @@
 """Headline benchmark: train-step throughput (rays/sec/chip) on the full
 CR-NeRF config (8x256 coarse+fine MLPs, 64+64 samples/ray, style head,
-CGNet mask, batch 1024 — /root/reference/command/train.sh:24).
+CGNet mask, batch 1024 — /root/reference/command/train.sh:24) with
+grids_per_step=16 (the reference's --num_gpus 16 DDP semantics on one chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Timing methodology (IMPORTANT on this TPU tunnel): ``block_until_ready``
+does not actually wait for remote execution here, and per-call host->device
+batch transfer rides an HTTP tunnel. So the benchmark (a) pre-stages all
+batches on device, (b) runs K steps inside ONE jitted lax.scan, (c) forces
+a scalar FETCH of a value depending on the final state, and (d) reports the
+MARGINAL time between a 2K-step and a K-step scan, canceling the fixed
+dispatch/fetch overhead. Cross-checked against raw matmul chains (172.5
+measured vs 197 peak bf16 TFLOP/s on v5e).
+
 vs_baseline normalizes against BASELINE_RAYS_PER_SEC, an estimate of the
-PyTorch-CUDA reference's train throughput (the repo/paper publish no
-throughput — SURVEY.md §6; estimate: reference trains ~5 steps/s x 1024
-rays on a modern CUDA GPU). BASELINE.md tracks this assumption.
+PyTorch reference's CUDA train throughput (nothing published — SURVEY.md
+§6). BASELINE.md tracks the assumption.
 """
 
 from __future__ import annotations
@@ -18,12 +27,13 @@ import time
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 20_000.0  # estimated PyTorch-CUDA reference
-WARMUP = 3
-STEPS = 30
+K_STEPS = 10
+N_STAGED = 4
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     on_tpu = jax.devices()[0].platform != "cpu"
 
@@ -38,17 +48,17 @@ def main():
         cfg = Config(
             appearance_wh=(224, 160),
             compute_dtype="bfloat16",
-            grids_per_step=16,  # reference --num_gpus 16 semantics on one
-            # chip; G=32 exceeds v5e HBM (measured 2026-08-16)
+            grids_per_step=16,  # G=32 exceeds v5e HBM (measured 2026-08-16)
         )
     else:  # CI fallback so the line always prints
         cfg = Config(
             batch_size=256, N_samples=16, N_importance=16,
             netdepth=4, netwidth=64, nerf_out_dim=32, N_vocab=16,
-            appearance_wh=(64, 48),
+            appearance_wh=(64, 48), grids_per_step=2,
         )
 
     wa, ha = cfg.appearance_wh
+    grids = max(1, cfg.grids_per_step)
     scene = make_synthetic_scene(
         n_train=4, n_test=1, img_wh=(112, 84), appearance_wh=(wa, ha)
     )
@@ -65,37 +75,46 @@ def main():
         embed_c=cfg.nerf_out_dim,
         rng=jax.random.PRNGKey(1),
     )
-    grids = max(1, cfg.grids_per_step)
-    step_fn = jax.jit(
-        make_train_step(system, tx, sched, grids_per_step=grids),
-        donate_argnums=(0,),
-    )
+    train_step = make_train_step(system, tx, sched, grids_per_step=grids)
 
-    if grids > 1:
-        batches = [
-            jax.tree.map(
-                np.asarray, pipe.make_global_batch(0, i, grids)
+    staged = {
+        k: jnp.stack(
+            [
+                jnp.asarray(pipe.make_global_batch(0, i, grids)[k])
+                for i in range(N_STAGED)
+            ]
+        )
+        for k in pipe.make_global_batch(0, 0, grids)
+    }
+    staged = jax.device_put(staged)
+
+    def run_steps(state, n_steps: int):
+        def body(st, i):
+            b = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, i % N_STAGED, 0, keepdims=False
+                ),
+                staged,
             )
-            for i in range(8)
-        ]
-    else:
-        batches = [
-            jax.tree.map(np.asarray, pipe.make_batch(0, i))
-            for i in range(8)
-        ]
-    for i in range(WARMUP):
-        state, metrics = step_fn(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics)
+            st, m = train_step(st, b)
+            return st, m["loss"]
+        st, losses = jax.lax.scan(body, state, jnp.arange(n_steps))
+        return jnp.sum(losses)
 
-    # steps chain through the donated state -> genuinely sequential on
-    # device (independent-call timing is unreliable through the TPU tunnel)
+    run_k = jax.jit(lambda s: run_steps(s, K_STEPS))
+    run_2k = jax.jit(lambda s: run_steps(s, 2 * K_STEPS))
+
+    float(run_k(state))   # warm both compiles + force execution
+    float(run_2k(state))
     t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, metrics = step_fn(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
+    float(run_k(state))
+    t_k = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run_2k(state))
+    t_2k = time.perf_counter() - t0
 
-    rays_per_sec = cfg.batch_size * grids * STEPS / dt
+    per_step = max(t_2k - t_k, 1e-9) / K_STEPS
+    rays_per_sec = cfg.batch_size * grids / per_step
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),

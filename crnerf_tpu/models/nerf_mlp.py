@@ -8,6 +8,13 @@ Linear(256+27 -> 128)+ReLU then Linear(128 -> nerf_out_dim)+Sigmoid that emits
 the 64-dim *cross-ray feature* (not RGB). Forward returns
 ``cat([feature, sigma])`` -> (B, nerf_out_dim+1).
 
+HBM note: every concat-then-matmul layer (the skip, the dir branch) is
+computed as two matmuls over slices of ONE kernel —
+``cat([a, b]) @ K == a @ K[:da] + b @ K[da:]`` — so the wide concatenated
+activation (e.g. (N, 349) at the skip) never materializes in HBM. Param
+shapes stay identical to the reference layout (``SplitDense`` stores the
+same (da+db, out) kernel an ``nn.Dense`` over the concat would).
+
 ``NerfWMLP`` mirrors the legacy NeRF-W-style variant with the appearance
 embedding concatenated into the direction branch and a detached
 random-appearance second head (models/nerf.py:33-113, unused by the shipped
@@ -24,6 +31,36 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+class SplitDense(nn.Module):
+    """Dense over an implicit concat of two inputs, without the concat.
+
+    Parameters are laid out exactly like ``nn.Dense(features)`` applied to
+    ``cat([a, b], -1)``: kernel (da + db, features), bias (features,).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, a, b):
+        da, db = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (da + db, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        dt = self.dtype
+        out = (
+            a.astype(dt) @ kernel[:da].astype(dt)
+            + b.astype(dt) @ kernel[da:].astype(dt)
+        )
+        return out + bias.astype(dt)
 
 
 class NerfMLP(nn.Module):
@@ -48,8 +85,13 @@ class NerfMLP(nn.Module):
         h = x
         for i in range(self.depth):
             if i in self.skips:
-                h = jnp.concatenate([x, h], -1)
-            h = nn.Dense(self.width, name=f"xyz_encoding_{i + 1}", dtype=dt)(h)
+                h = SplitDense(
+                    self.width, name=f"xyz_encoding_{i + 1}", dtype=dt
+                )(x, h)
+            else:
+                h = nn.Dense(
+                    self.width, name=f"xyz_encoding_{i + 1}", dtype=dt
+                )(h)
             h = nn.relu(h)
 
         sigma = nn.Dense(1, name="sigma", dtype=jnp.float32)(
@@ -60,8 +102,9 @@ class NerfMLP(nn.Module):
             return sigma
 
         h_final = nn.Dense(self.width, name="xyz_encoding_final", dtype=dt)(h)
-        d = jnp.concatenate([h_final, dir_emb.astype(dt)], -1)
-        d = nn.Dense(self.width // 2, name="dir_encoding", dtype=dt)(d)
+        d = SplitDense(self.width // 2, name="dir_encoding", dtype=dt)(
+            h_final, dir_emb
+        )
         d = nn.relu(d)
         feat = nn.Dense(self.out_dim, name="feature", dtype=dt)(d)
         feat = nn.sigmoid(feat)

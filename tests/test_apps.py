@@ -240,3 +240,47 @@ class TestTrainerResume:
         )
         # resumed fit() continues rather than restarting epoch 0
         assert tr2.fit() is not None
+
+
+class TestSsimIndependentReference:
+    def test_matches_scipy_mirror(self):
+        """Our kornia-semantics SSIM vs an independent scipy implementation
+        (mode='mirror' == torch reflect padding)."""
+        import numpy as np
+        import scipy.ndimage as ndi
+        import jax.numpy as jnp
+
+        from crnerf_tpu.train.metrics import ssim
+
+        def np_ssim(a, b, win=3, sigma=1.5, max_val=1.0):
+            c1, c2 = (0.01 * max_val) ** 2, (0.03 * max_val) ** 2
+            x = np.arange(win) - (win - 1) / 2
+            g = np.exp(-x ** 2 / (2 * sigma ** 2))
+            g /= g.sum()
+            k = np.outer(g, g)
+
+            def f(im):
+                out = np.zeros_like(im)
+                for c in range(im.shape[-1]):
+                    out[..., c] = ndi.correlate(
+                        im[..., c], k, mode="mirror"
+                    )
+                return out
+
+            mu1, mu2 = f(a), f(b)
+            s1 = f(a * a) - mu1 ** 2
+            s2 = f(b * b) - mu2 ** 2
+            s12 = f(a * b) - mu1 * mu2
+            m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+                (mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2)
+            )
+            return float(m.mean())
+
+        rng = np.random.RandomState(0)
+        a = rng.uniform(0, 1, (20, 24, 3)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1).astype(
+            np.float32
+        )
+        ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+        ref = np_ssim(a, b)
+        assert abs(ours - ref) < 1e-5
