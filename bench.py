@@ -44,11 +44,14 @@ def main():
     from crnerf_tpu.train.state import TrainState
     from crnerf_tpu.train.step import make_train_step
 
+    import os
+
     if on_tpu:
         cfg = Config(
             appearance_wh=(224, 160),
             compute_dtype="bfloat16",
             grids_per_step=16,  # G=32 exceeds v5e HBM (measured 2026-08-16)
+            pallas_train=bool(os.environ.get("CRNERF_BENCH_PALLAS")),
         )
     else:  # CI fallback so the line always prints
         cfg = Config(

@@ -102,6 +102,7 @@ class Config:
     # ---- TPU-native knobs (no reference equivalent) ----
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' for MLP matmuls
     use_pallas: bool = True  # fused Pallas kernels on TPU where applicable
+    pallas_train: bool = False  # Pallas fused fwd+bwd MLP in the TRAIN step
     mesh_shape: Tuple[int, ...] = ()  # () = 1D data mesh over all devices
     appearance_wh: Tuple[int, int] = (224, 160)  # fixed (W, H) of whole-image
     # appearance/mask inputs: the reference feeds variable downscale-8 images
@@ -158,7 +159,7 @@ class Config:
 _BOOL_FIELDS = {
     "use_cache", "testit", "use_disp", "pertube_cord", "use_residual",
     "encode_a", "encode_c", "encode_random", "use_mask", "mse_on_appearance",
-    "use_pallas", "remat", "donate_state", "profile",
+    "use_pallas", "pallas_train", "remat", "donate_state", "profile",
 }
 
 

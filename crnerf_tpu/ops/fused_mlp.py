@@ -225,11 +225,13 @@ def _make_kernel(n_layers: int, skips: Tuple[int, ...], c_out: int,
         feat = mm(dd, feat_w) + feat_b[:]
         feat = jax.nn.sigmoid(feat)
 
-        t = feat.shape[0]
-        out = jnp.zeros((t, out_ref.shape[-1]), f32)
-        out = out.at[:, :c_out].set(feat[:, :c_out])
-        out = out.at[:, c_out].set(sigma[:, 0])
-        out_ref[:, :] = out
+        # assemble [feat | sigma] with lane masks (scatter doesn't lower
+        # on Mosaic); feat already has out_ref's padded width
+        col = jax.lax.broadcasted_iota(jnp.int32, feat.shape, 1)
+        sig_b = jnp.broadcast_to(sigma[:, :1], feat.shape)
+        out_ref[:, :] = jnp.where(
+            col < c_out, feat, jnp.where(col == c_out, sig_b, 0.0)
+        )
 
     return kernel
 
@@ -481,7 +483,10 @@ def _make_bwd_kernel(n_layers: int, skips: Tuple[int, ...], c_out: int,
         # sigma branch: softplus' = sigmoid; dsigma broadcast to lane 0 of
         # the padded sigma block
         dz_sig = (dsigma * jax.nn.sigmoid(z_sig[:, :1]))  # (T, 1)
-        dz_sig_b = jnp.pad(dz_sig, ((0, 0), (0, z_sig.shape[1] - 1)))
+        sig_col = jax.lax.broadcasted_iota(jnp.int32, z_sig.shape, 1)
+        dz_sig_b = jnp.where(
+            sig_col == 0, jnp.broadcast_to(dz_sig, z_sig.shape), 0.0
+        )
         sw[1][:, :] += mm_t(acts[-1].astype(f32), dz_sig_b)
         sb[1][:, :] += jnp.sum(dz_sig_b, axis=0, keepdims=True)
         dh = dh + jnp.dot(dz_sig_b, sw[0][:].astype(f32).T,

@@ -50,6 +50,7 @@ def _eval_mlp(apply_fn, params, xyz, dir_emb, n_emb_xyz, remat,
     if fused is not None:
         from crnerf_tpu.ops.fused_mlp import (
             fused_mlp_apply,
+            make_fused_mlp_train,
             mlp_params_from_flax,
         )
 
@@ -57,14 +58,25 @@ def _eval_mlp(apply_fn, params, xyz, dir_emb, n_emb_xyz, remat,
         dirs_pt = jnp.broadcast_to(
             fused["raw_dirs"][:, None, :], (n, s, 3)
         ).reshape(n * s, 3)
-        out = fused_mlp_apply(
-            kp, xyz.reshape(n * s, 3), dirs_pt,
-            n_emb_xyz=n_emb_xyz,
-            n_emb_dir=fused["n_emb_dir"],
-            tile=fused.get("tile", 1024),
-            compute_dtype=fused.get("compute_dtype", jnp.float32),
-            interpret=fused.get("interpret", False),
-        ).reshape(n, s, -1)
+        if fused.get("train"):
+            # differentiable path: Pallas fwd + Pallas weight-grad bwd
+            apply_train = make_fused_mlp_train(
+                n_emb_xyz, fused["n_emb_dir"],
+                tile=fused.get("tile", 1024),
+                compute_dtype=fused.get("compute_dtype", jnp.float32),
+                interpret=fused.get("interpret", False),
+            )
+            out = apply_train(kp, xyz.reshape(n * s, 3), dirs_pt)
+        else:
+            out = fused_mlp_apply(
+                kp, xyz.reshape(n * s, 3), dirs_pt,
+                n_emb_xyz=n_emb_xyz,
+                n_emb_dir=fused["n_emb_dir"],
+                tile=fused.get("tile", 1024),
+                compute_dtype=fused.get("compute_dtype", jnp.float32),
+                interpret=fused.get("interpret", False),
+            )
+        out = out.reshape(n, s, -1)
         return out[..., :-1], out[..., -1]
 
     def run(xyz_in):

@@ -219,18 +219,19 @@ class CrNerfSystem:
             results["out_mask"] = out_mask
 
         fused_opts = None
-        if (
-            not train
-            and cfg.use_pallas
-            and jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
+        if (not train and cfg.use_pallas and on_tpu) or (
+            train and cfg.pallas_train and on_tpu
         ):
-            # inference rides the fused Pallas PE+MLP kernel (no VJP needed)
+            # fused Pallas PE+MLP kernel; training additionally routes the
+            # backward through the Pallas weight-grad kernel
             fused_opts = {
                 "n_emb_dir": cfg.N_emb_dir,
                 "depth": cfg.netdepth,
-                "tile": 1024,
+                "tile": 1024 if not train else 512,
                 "compute_dtype": jnp.bfloat16
                 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+                "train": train,
             }
         render_kw = dict(
             n_samples=cfg.N_samples,
