@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Render + score the test split (reference command/test.sh:17-32):
+# heavy 256+256 sampling at inference, right-half PSNR/SSIM/LPIPS protocol.
+set -e
+ROOT_DIR=${1:?usage: test.sh <scene_root> <scene_name> [exp_name]}
+SCENE=${2:?scene name}
+EXP=${3:-exp}
+
+python -m crnerf_tpu eval \
+  --root_dir "$ROOT_DIR" \
+  --dataset_name phototourism \
+  --scene_name "$SCENE" \
+  --split test_test \
+  --img_downscale 2 \
+  --N_samples 256 --N_importance 256 --chunk 16384 \
+  --ckpt_path ./out/ckpts/"$EXP" \
+  --save_dir ./out
+
+python -m crnerf_tpu metrics \
+  --root_dir "$ROOT_DIR" \
+  --dataset_name phototourism \
+  --scene_name "$SCENE" \
+  --img_downscale 2 \
+  --save_dir ./out

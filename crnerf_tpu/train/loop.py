@@ -171,7 +171,7 @@ class Trainer:
             # ---- validation (reference: val at every epoch end,
             # metric-logged; train…py:340-417)
             is_last = epoch == epochs - 1
-            val = self.validate()
+            val = self.validate(log_images=is_last)
             if self.logger:
                 self.logger.log(
                     {"val/psnr": val["psnr"], "val/ssim": val["ssim"]},
@@ -242,10 +242,13 @@ class Trainer:
         return res
 
     # ---------------------------------------------------------- validate
-    def validate(self, max_images: int = 1) -> Dict[str, float]:
+    def validate(self, max_images: int = 1,
+                 log_images: bool = False) -> Dict[str, float]:
         """Render the first train image(s) full-res and score PSNR/SSIM —
         the reference's val protocol (val image = first train image,
-        phototourism…py:215-216; metrics train…py:396-417)."""
+        phototourism…py:215-216; metrics train…py:396-417). With
+        ``log_images`` the gt/pred/depth/mask panels go to the logger
+        (reference val image panels, train…py:373-395)."""
         psnrs, ssims = [], []
         for im in self.scene.train_images[:max_images]:
             out = self.render_image(im)
@@ -255,4 +258,18 @@ class Trainer:
                                        jnp.asarray(gt))))
             ssims.append(float(ssim_fn(jnp.asarray(out["rgb"]),
                                        jnp.asarray(gt))))
+            if log_images and self.logger:
+                from crnerf_tpu.utils.visualization import visualize_depth
+
+                step = int(jax.device_get(self.state.step))
+                self.logger.log_image("val/gt", gt, step)
+                self.logger.log_image("val/pred", out["rgb"], step)
+                self.logger.log_image(
+                    "val/depth", visualize_depth(out["depth"]), step
+                )
+                if "mask" in out:
+                    self.logger.log_image(
+                        "val/mask",
+                        np.repeat(out["mask"][..., None], 3, -1), step,
+                    )
         return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
