@@ -51,7 +51,9 @@ def main():
             appearance_wh=(224, 160),
             compute_dtype="bfloat16",
             grids_per_step=16,  # G=32 exceeds v5e HBM (measured 2026-08-16)
-            pallas_train=bool(os.environ.get("CRNERF_BENCH_PALLAS")),
+            # fused Pallas fwd+bwd beats the XLA path 58.9k vs 51.1k
+            # rays/s (2026-08-16); CRNERF_BENCH_XLA=1 to A/B
+            pallas_train=not bool(os.environ.get("CRNERF_BENCH_XLA")),
         )
     else:  # CI fallback so the line always prints
         cfg = Config(

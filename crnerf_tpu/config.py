@@ -101,8 +101,11 @@ class Config:
 
     # ---- TPU-native knobs (no reference equivalent) ----
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' for MLP matmuls
-    use_pallas: bool = True  # fused Pallas kernels on TPU where applicable
-    pallas_train: bool = False  # Pallas fused fwd+bwd MLP in the TRAIN step
+    # Pallas routing defaults follow the measured-faster option per path
+    # (BASELINE.md 2026-08-16): XLA wins eval-time inference, the fused
+    # fwd+bwd kernels win training (+15% end-to-end).
+    use_pallas: bool = False  # fused kernel for INFERENCE renders
+    pallas_train: bool = True  # fused fwd+bwd MLP in the TRAIN step (TPU)
     mesh_shape: Tuple[int, ...] = ()  # () = 1D data mesh over all devices
     appearance_wh: Tuple[int, int] = (224, 160)  # fixed (W, H) of whole-image
     # appearance/mask inputs: the reference feeds variable downscale-8 images

@@ -447,7 +447,7 @@ def _make_bwd_kernel(n_layers: int, skips: Tuple[int, ...], c_out: int,
         fw2[1][:, :] += mm_t(dd, dz_feat)
         fb2[1][:, :] += jnp.sum(dz_feat, axis=0, keepdims=True)
         ddd = mm_bt(dz_feat, fw2[0][:])
-        ddd = jnp.where(dd > 0, ddd, 0.0)
+        ddd = jnp.where(dd.astype(f32) > 0, ddd, 0.0)
 
         wd_h[1][:, :] += mm_t(hf, ddd)
         wd_e[1][:, :] += mm_t(enc, ddd)
@@ -472,7 +472,8 @@ def _make_bwd_kernel(n_layers: int, skips: Tuple[int, ...], c_out: int,
         )
 
         for i in range(n_layers - 1, -1, -1):
-            dz = jnp.where(acts[i] > 0, dh, 0.0)
+            # fp32 compare: bf16 comparisons don't lower on this target
+            dz = jnp.where(acts[i].astype(f32) > 0, dh, 0.0)
             kind, ws, prev = layers[i]
             if kind == "enc":
                 w0, b0 = ws
