@@ -106,6 +106,8 @@ class Config:
     # fwd+bwd kernels win training (+15% end-to-end).
     use_pallas: bool = False  # fused kernel for INFERENCE renders
     pallas_train: bool = True  # fused fwd+bwd MLP in the TRAIN step (TPU)
+    pallas_interpret: bool = False  # run Pallas routes via the interpreter
+    # on CPU (test/CI coverage of the TPU code path)
     mesh_shape: Tuple[int, ...] = ()  # () = 1D data mesh over all devices
     appearance_wh: Tuple[int, int] = (224, 160)  # fixed (W, H) of whole-image
     # appearance/mask inputs: the reference feeds variable downscale-8 images
@@ -162,7 +164,8 @@ class Config:
 _BOOL_FIELDS = {
     "use_cache", "testit", "use_disp", "pertube_cord", "use_residual",
     "encode_a", "encode_c", "encode_random", "use_mask", "mse_on_appearance",
-    "use_pallas", "pallas_train", "remat", "donate_state", "profile",
+    "use_pallas", "pallas_train", "pallas_interpret", "remat",
+    "donate_state", "profile",
 }
 
 

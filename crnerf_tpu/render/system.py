@@ -219,12 +219,14 @@ class CrNerfSystem:
             results["out_mask"] = out_mask
 
         fused_opts = None
-        on_tpu = jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu" or cfg.pallas_interpret
         if (not train and cfg.use_pallas and on_tpu) or (
             train and cfg.pallas_train and on_tpu
         ):
             # fused Pallas PE+MLP kernel; training additionally routes the
-            # backward through the Pallas weight-grad kernel
+            # backward through the Pallas weight-grad kernel.
+            # pallas_interpret runs the same route through the Pallas
+            # interpreter on CPU (CI coverage of the TPU code path).
             fused_opts = {
                 "n_emb_dir": cfg.N_emb_dir,
                 "depth": cfg.netdepth,
@@ -232,6 +234,7 @@ class CrNerfSystem:
                 "compute_dtype": jnp.bfloat16
                 if cfg.compute_dtype == "bfloat16" else jnp.float32,
                 "train": train,
+                "interpret": cfg.pallas_interpret,
             }
         render_kw = dict(
             n_samples=cfg.N_samples,

@@ -300,3 +300,31 @@ class TestGridsPerStep:
         assert float(mg["loss"]) == pytest.approx(
             float(np.mean(singles)), rel=1e-5
         )
+
+
+class TestPallasTrainRoute:
+    def test_pallas_train_step_matches_flax(self):
+        """The exact TPU training route (fused Pallas fwd + weight-grad
+        bwd, via the interpreter on CPU) produces the same loss and
+        near-identical parameter updates as the flax path."""
+        cfg = Config(**TINY).replace(
+            netdepth=4, perturb=0.0, use_mask=False,
+            encode_random=False,
+        )
+        b = jax.tree.map(jnp.asarray, _batch(cfg))
+
+        def one_step(pallas):
+            c = cfg.replace(pallas_train=pallas, pallas_interpret=pallas)
+            system, tx, sched, state = _setup(c)
+            step = jax.jit(make_train_step(system, tx, sched))
+            new_state, m = step(state, b)
+            return new_state, float(m["loss"])
+
+        s_flax, l_flax = one_step(False)
+        s_pal, l_pal = one_step(True)
+        assert l_pal == pytest.approx(l_flax, rel=1e-5)
+        for a, c in zip(jax.tree.leaves(s_flax.params),
+                        jax.tree.leaves(s_pal.params)):
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(a), atol=5e-5
+            )
