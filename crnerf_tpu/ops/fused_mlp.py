@@ -132,17 +132,19 @@ def _grouped_sincos(v, n_freqs: int):
 
 
 def grouped_encode(xyz, dirs, n_emb_xyz: int, n_emb_dir: int):
-    """-> (N, enc_cols) lane-packed grouped encode (fp32)."""
+    """-> (N, enc_cols) lane-packed grouped encode (fp32). One concat
+    builds the padded block directly (single fused materialization)."""
     sx, cx = _grouped_sincos(xyz.astype(jnp.float32), n_emb_xyz)
     sd, cd = _grouped_sincos(dirs.astype(jnp.float32), n_emb_dir)
-    enc = jnp.concatenate(
-        [xyz.astype(jnp.float32), sx, cx,
-         dirs.astype(jnp.float32), sd, cd], axis=-1
-    )
-    cols = _round_up(enc.shape[-1], LANE)
-    if cols != enc.shape[-1]:
-        enc = jnp.pad(enc, ((0, 0), (0, cols - enc.shape[-1])))
-    return enc
+    parts = [xyz.astype(jnp.float32), sx, cx,
+             dirs.astype(jnp.float32), sd, cd]
+    total = sum(p.shape[-1] for p in parts)
+    cols = _round_up(total, LANE)
+    if cols != total:
+        parts.append(
+            jnp.zeros((xyz.shape[0], cols - total), jnp.float32)
+        )
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _lane_offsets(n_emb_xyz: int, n_emb_dir: int):
