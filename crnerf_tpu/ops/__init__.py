@@ -15,3 +15,8 @@ from crnerf_tpu.ops.fused_mlp import (  # noqa: F401
     mlp_params_from_flax,
     reference_mlp_apply,
 )
+from crnerf_tpu.ops.fused_mlp import (  # noqa: F401
+    grouped_encode,
+    make_fused_mlp_train,
+)
+from crnerf_tpu.ops.composite import composite_pallas  # noqa: F401
