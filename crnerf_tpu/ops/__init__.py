@@ -12,11 +12,9 @@ these kernels are the TPU build's native components).
 
 from crnerf_tpu.ops.fused_mlp import (  # noqa: F401
     fused_mlp_apply,
-    mlp_params_from_flax,
-    reference_mlp_apply,
-)
-from crnerf_tpu.ops.fused_mlp import (  # noqa: F401
     grouped_encode,
     make_fused_mlp_train,
+    mlp_params_from_flax,
+    reference_mlp_apply,
 )
 from crnerf_tpu.ops.composite import composite_pallas  # noqa: F401

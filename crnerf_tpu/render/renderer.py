@@ -59,14 +59,21 @@ def _eval_mlp(apply_fn, params, xyz, dir_emb, n_emb_xyz, remat,
             fused["raw_dirs"][:, None, :], (n, s, 3)
         ).reshape(n * s, 3)
         if fused.get("train"):
-            # differentiable path: Pallas fwd + Pallas weight-grad bwd
+            # differentiable path: Pallas fwd + Pallas weight-grad bwd.
+            # stop_gradient prunes the (all-zero) data-cotangent flow at
+            # trace time — otherwise XLA materializes zero grads for 3M+
+            # points and runs the whole ray-gen/encode backward on them.
             apply_train = make_fused_mlp_train(
                 n_emb_xyz, fused["n_emb_dir"],
                 tile=fused.get("tile", 1024),
                 compute_dtype=fused.get("compute_dtype", jnp.float32),
                 interpret=fused.get("interpret", False),
             )
-            out = apply_train(kp, xyz.reshape(n * s, 3), dirs_pt)
+            out = apply_train(
+                kp,
+                jax.lax.stop_gradient(xyz.reshape(n * s, 3)),
+                jax.lax.stop_gradient(dirs_pt),
+            )
         else:
             out = fused_mlp_apply(
                 kp, xyz.reshape(n * s, 3), dirs_pt,

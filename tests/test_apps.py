@@ -284,3 +284,47 @@ class TestSsimIndependentReference:
         ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
         ref = np_ssim(a, b)
         assert abs(ours - ref) < 1e-5
+
+
+class TestPhototourismPipeline:
+    def test_prepare_train_eval_metrics(self, tmp_path):
+        """The reference's full workflow (SURVEY.md §3.1-3.2) on a COLMAP
+        fixture: cache build -> CLI train -> render test split -> right-
+        half metrics."""
+        import glob
+
+        from test_data import _write_phototourism_fixture
+
+        from crnerf_tpu.apps.prepare import main as prepare_main
+        from crnerf_tpu.apps.train import main as train_main
+        from crnerf_tpu.apps.eval import main as eval_main
+        from crnerf_tpu.apps.eval_metric import main as metric_main
+
+        root = str(tmp_path / "scene")
+        out = str(tmp_path / "out")
+        _write_phototourism_fixture(root)
+
+        prepare_main(["--root_dir", root, "--img_downscale", "2",
+                      "--appearance_wh", "32", "24"])
+        assert os.path.exists(f"{root}/cache_tpu/scene_ds2.npz")
+
+        common = ["--root_dir", root, "--dataset_name", "phototourism",
+                  "--img_downscale", "2", "--batch_size", "16",
+                  "--N_samples", "4", "--N_importance", "4",
+                  "--netdepth", "2", "--netwidth", "16",
+                  "--nerf_out_dim", "8", "--N_vocab", "16",
+                  "--appearance_wh", "32", "24", "--chunk", "256",
+                  "--save_dir", out]
+        train_main(common + ["--num_epochs", "1", "--exp_name", "pt",
+                             "--log_every", "1000"])
+        eval_main(common + ["--split", "test_test",
+                            "--ckpt_path", f"{out}/ckpts/pt",
+                            "--scene_name", "scene"])
+        assert len(
+            glob.glob(f"{out}/results/phototourism/scene/*.png")
+        ) == 1
+        m = metric_main(["--root_dir", root,
+                         "--dataset_name", "phototourism",
+                         "--scene_name", "scene", "--save_dir", out,
+                         "--img_downscale", "2"])
+        assert np.isfinite(m["psnr"]) and np.isfinite(m["ssim"])
