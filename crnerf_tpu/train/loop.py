@@ -107,11 +107,16 @@ class Trainer:
 
     # ------------------------------------------------------------- resume
     def restore(self, path_or_dir: Optional[str] = None):
-        mgr = (
-            self.ckpt
-            if path_or_dir in (None, self.ckpt.directory)
-            else CheckpointManager(path_or_dir)
+        if path_or_dir is not None and path_or_dir.endswith(".npz"):
+            raise ValueError(
+                "resume needs a full orbax checkpoint directory; a "
+                "weights.npz bundle holds inference weights only "
+                "(use apps/eval for that)"
+            )
+        same = path_or_dir is None or (
+            os.path.abspath(path_or_dir) == self.ckpt.directory
         )
+        mgr = self.ckpt if same else CheckpointManager(path_or_dir)
         self.state = put_replicated(
             mgr.restore(jax.tree.map(np.asarray, self.state)), self.mesh
         )
