@@ -328,3 +328,17 @@ class TestPallasTrainRoute:
             np.testing.assert_allclose(
                 np.asarray(c), np.asarray(a), atol=5e-5
             )
+
+
+class TestEncodeContentPath:
+    def test_content_constraint_flows(self):
+        """--encode_c: content encoder + content_constraint loss term (the
+        reference's eval-time encode_c path crashes — SURVEY.md §2.8; ours
+        must not)."""
+        cfg = Config(**TINY).replace(encode_c=True)
+        system, tx, sched, state = _setup(cfg)
+        step = jax.jit(make_train_step(system, tx, sched))
+        state, m = step(state, jax.tree.map(jnp.asarray, _batch(cfg)))
+        assert "loss/content_constraint" in m
+        assert np.isfinite(float(m["loss/content_constraint"]))
+        assert "enc_cont" in state.params
