@@ -15,7 +15,7 @@ import argparse
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 
 @dataclass

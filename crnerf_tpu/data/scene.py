@@ -12,7 +12,7 @@ SURVEY.md §7 hard part 1).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ at construction, and eval_metric falls back to PSNR/SSIM/MSE.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -3,7 +3,7 @@ convs, torch-compatible pooling, pixel shuffle, bilinear resize."""
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ LeakyReLU(0.2) trunk and Tanh feature head.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

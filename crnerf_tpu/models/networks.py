@@ -5,7 +5,6 @@ mask superseded by CGNet)."""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from crnerf_tpu.models.common import global_avg_pool, reflect_pad

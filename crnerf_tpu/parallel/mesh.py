@@ -11,8 +11,7 @@ initializes process groups and the same mesh spans all processes.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import numpy as np

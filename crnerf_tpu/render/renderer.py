@@ -14,7 +14,6 @@ PDF-draw / coord-perturb streams.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax

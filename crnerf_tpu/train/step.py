@@ -18,13 +18,11 @@ per-rank caches silently diverge under DDP (SURVEY.md §2.7).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from crnerf_tpu.config import Config
 from crnerf_tpu.render.system import CrNerfSystem
 from crnerf_tpu.train.losses import crnerf_loss
 from crnerf_tpu.train.metrics import psnr
