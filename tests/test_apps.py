@@ -328,3 +328,49 @@ class TestPhototourismPipeline:
                          "--scene_name", "scene", "--save_dir", out,
                          "--img_downscale", "2"])
         assert np.isfinite(m["psnr"]) and np.isfinite(m["ssim"])
+
+
+class TestBlenderPipeline:
+    def test_cli_train_on_blender_fixture(self, tmp_path):
+        """CLI training on a Blender-layout scene with perturbations
+        (reference blender_mask_grid_sample path)."""
+        import json
+
+        import numpy as np
+        from PIL import Image as PILImage
+
+        from crnerf_tpu.apps.train import main as train_main
+
+        root = str(tmp_path / "lego")
+        os.makedirs(root, exist_ok=True)
+        rng = np.random.RandomState(0)
+        frames = []
+        for t in range(3):
+            name = f"r_{t}"
+            arr = np.zeros((400, 400, 4), np.uint8)
+            arr[..., :3] = rng.randint(0, 255, (400, 400, 3))
+            arr[..., 3] = 255
+            PILImage.fromarray(arr, "RGBA").save(
+                os.path.join(root, name + ".png")
+            )
+            pose = np.eye(4)
+            pose[2, 3] = 4.0
+            pose[0, 3] = 0.3 * t
+            frames.append(
+                {"file_path": name, "transform_matrix": pose.tolist()}
+            )
+        with open(os.path.join(root, "transforms_train.json"), "w") as f:
+            json.dump({"camera_angle_x": 0.6911, "frames": frames}, f)
+
+        out = str(tmp_path / "out")
+        train_main([
+            "--root_dir", root, "--dataset_name", "blender",
+            "--img_wh", "32", "32", "--data_perturb", "color", "occ",
+            "--batch_size", "16", "--N_samples", "4",
+            "--N_importance", "4", "--netdepth", "2", "--netwidth", "16",
+            "--nerf_out_dim", "8", "--N_vocab", "8",
+            "--appearance_wh", "32", "24", "--chunk", "256",
+            "--num_epochs", "1", "--save_dir", out,
+            "--exp_name", "bl", "--log_every", "1000",
+        ])
+        assert os.path.exists(f"{out}/ckpts/bl/weights.npz")
