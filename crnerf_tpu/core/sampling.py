@@ -74,10 +74,18 @@ def sample_pdf(key, bins, weights, n_importance: int, det: bool,
     below = jnp.clip(inds - 1, 0, None)
     above = jnp.clip(inds, None, n_bins)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=1)
-    bins_below = jnp.take_along_axis(bins, below, axis=1)
-    bins_above = jnp.take_along_axis(bins, above, axis=1)
+    # gathers expressed as one-hot contractions — batched (I, J) x (J,)
+    # matmuls ride the MXU; jnp.take_along_axis lowers to slow TPU gathers
+    j = jnp.arange(n_bins + 1)
+    oh_below = (below[:, :, None] == j).astype(cdf.dtype)   # (N, I, B+1)
+    oh_above = (above[:, :, None] == j).astype(cdf.dtype)
+    contract = lambda oh, v: jnp.einsum(  # noqa: E731
+        "nij,nj->ni", oh, v, preferred_element_type=jnp.float32
+    ).astype(cdf.dtype)
+    cdf_below = contract(oh_below, cdf)
+    cdf_above = contract(oh_above, cdf)
+    bins_below = contract(oh_below, bins)
+    bins_above = contract(oh_above, bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)
