@@ -498,6 +498,35 @@ def _make_bwd_kernel(n_layers: int, skips: Tuple[int, ...], c_out: int,
 
 
 # -------------------------------------------------------------- entry pts
+def _apply_from_enc(params, enc_padded, n, c_out, tile, compute_dtype,
+                    skips, interpret, n_emb_xyz, n_emb_dir):
+    """Run the forward kernel on an already-padded encode block."""
+    c_pad = _round_up(c_out + 1, LANE)
+    n_pad = enc_padded.shape[0]
+    enc_cols = enc_padded.shape[-1]
+    wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips, compute_dtype)
+    kernel = _make_fwd_kernel(
+        len(params.trunk_w), skips, c_out, compute_dtype
+    )
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, enc_cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [const(w.shape) for w in wargs],
+        out_specs=pl.BlockSpec(
+            (tile, c_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
+        interpret=interpret,
+    )(enc_padded, *wargs)
+    return out[:n, : c_out + 1]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_emb_xyz", "n_emb_dir", "tile", "compute_dtype",
@@ -518,36 +547,13 @@ def fused_mlp_apply(
     ``reference_mlp_apply`` to fp32 tolerance (the encode itself is
     computed by XLA outside the kernel)."""
     n = xyz.shape[0]
-    c_out = params.feat_w.shape[1]
-    c_pad = _round_up(c_out + 1, LANE)
     n_pad = _round_up(max(n, tile), tile)
-
     enc = grouped_encode(xyz, dirs, n_emb_xyz, n_emb_dir)
     enc = jnp.pad(enc, ((0, n_pad - n), (0, 0)))
-    enc_cols = enc.shape[-1]
-
-    wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips, compute_dtype)
-    kernel = _make_fwd_kernel(
-        len(params.trunk_w), skips, c_out, compute_dtype
+    return _apply_from_enc(
+        params, enc, n, params.feat_w.shape[1], tile, compute_dtype,
+        skips, interpret, n_emb_xyz, n_emb_dir,
     )
-    grid = (n_pad // tile,)
-    const = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile, enc_cols), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [const(w.shape) for w in wargs],
-        out_specs=pl.BlockSpec(
-            (tile, c_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
-        interpret=interpret,
-    )(enc, *wargs)
-    return out[:n, : c_out + 1]
 
 
 def _ungroup_grads(dwargs, params: MlpParams, n_emb_xyz: int,
@@ -616,17 +622,29 @@ def make_fused_mlp_train(
         return fused_mlp_apply(params, xyz, dirs, **fwd_kw)
 
     def fwd(params, xyz, dirs):
-        return apply_fn(params, xyz, dirs), (params, xyz, dirs)
-
-    def bwd(res, g):
-        params, xyz, dirs = res
+        # compute the encode ONCE; fwd kernel consumes it and it rides the
+        # residuals into bwd (the sin/cos sweep is ~half the non-MLP step
+        # cost — recomputing it in bwd showed up as 2x multiply_cosine
+        # fusions in profiles)
         n = xyz.shape[0]
-        c_out = params.feat_w.shape[1]
-        c_pad = _round_up(c_out + 1, LANE)
         n_pad = _round_up(max(n, tile), tile)
-
         enc = grouped_encode(xyz, dirs, n_emb_xyz, n_emb_dir)
         enc = jnp.pad(enc, ((0, n_pad - n), (0, 0)))
+        out = _apply_from_enc(
+            params, enc, n, params.feat_w.shape[1], tile, compute_dtype,
+            skips, interpret, n_emb_xyz, n_emb_dir,
+        )
+        # zero-width carriers keep xyz/dirs shape+dtype in the residuals
+        # (dtype objects are not valid residual leaves)
+        return out, (params, enc, jnp.zeros((n, 0), xyz.dtype),
+                     jnp.zeros((n, 0), dirs.dtype))
+
+    def bwd(res, g):
+        params, enc, x_proxy, d_proxy = res
+        n = x_proxy.shape[0]
+        c_out = params.feat_w.shape[1]
+        c_pad = _round_up(c_out + 1, LANE)
+        n_pad = enc.shape[0]
         enc_cols = enc.shape[-1]
         g_p = jnp.zeros((n_pad, c_pad), jnp.float32)
         g_p = g_p.at[:n, : c_out + 1].set(g.astype(jnp.float32))
@@ -658,7 +676,8 @@ def make_fused_mlp_train(
         )(enc, g_p, *wargs)
         dparams = _ungroup_grads(dwargs, params, n_emb_xyz, n_emb_dir,
                                  skips)
-        return dparams, jnp.zeros_like(xyz), jnp.zeros_like(dirs)
+        return (dparams, jnp.zeros((n, 3), x_proxy.dtype),
+                jnp.zeros((n, 3), d_proxy.dtype))
 
     apply_fn.defvjp(fwd, bwd)
     return apply_fn
