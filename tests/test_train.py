@@ -342,3 +342,29 @@ class TestEncodeContentPath:
         assert "loss/content_constraint" in m
         assert np.isfinite(float(m["loss/content_constraint"]))
         assert "enc_cont" in state.params
+
+
+class TestPallasInferenceRoute:
+    def test_fused_eval_forward_matches_flax(self):
+        """Eval-time system.forward through the fused kernel (interpreter)
+        == the XLA path."""
+        cfg = Config(**TINY).replace(netdepth=4, use_mask=False,
+                                     encode_random=False)
+        system, tx, sched, state = _setup(cfg)
+        b = jax.tree.map(jnp.asarray, _batch(cfg))
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+
+        def fwd(c):
+            sys2 = CrNerfSystem(c)
+            out, _ = sys2.forward(
+                variables, b, jax.random.PRNGKey(0), train=False
+            )
+            return out
+
+        ref = fwd(cfg)
+        fused = fwd(cfg.replace(use_pallas=True, pallas_interpret=True))
+        np.testing.assert_allclose(
+            np.asarray(fused["rgb_fine"]), np.asarray(ref["rgb_fine"]),
+            atol=2e-5,
+        )
