@@ -180,7 +180,6 @@ def _enc_weight(w_int, which: str, n_emb_xyz: int, n_emb_dir: int,
         n_emb_xyz, n_emb_dir
     )
     enc_cols = _round_up(total, LANE)
-    out = np.zeros((enc_cols,), bool)  # placeholder for clarity
     mat = jnp.zeros((enc_cols, out_cols), w_int.dtype)
     if which == "xyz":
         perm = _interleaved_to_group_perm(n_emb_xyz)
@@ -282,14 +281,6 @@ def _prep_wargs(params: MlpParams, n_emb_xyz: int, n_emb_dir: int,
             for i, w in enumerate(wargs)
         ]
     return wargs
-
-
-def _n_wargs(n_layers: int, skips: Tuple[int, ...]) -> int:
-    n = 2  # layer 0
-    for i in range(1, n_layers):
-        n += 3 if i in skips else 2
-    n += 2 + 2 + 3 + 2  # sigma, final, dir(h+enc+b), feat
-    return n
 
 
 # --------------------------------------------------------------- kernels
