@@ -53,14 +53,16 @@ class ConvBNPReLU(nn.Module):
     k: int
     stride: int = 1
     norm: str = "batch"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = (self.k - 1) // 2
         x = nn.Conv(
             self.n_out, (self.k, self.k), strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)), use_bias=False,
+            padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype,
         )(x)
+        x = x.astype(jnp.float32)
         x = _Norm(self.norm)(x, train)
         return PReLU()(x)
 

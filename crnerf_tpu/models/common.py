@@ -40,6 +40,7 @@ class ConvRefl(nn.Module):
     features: int
     kernel: int = 3
     use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -48,7 +49,7 @@ class ConvRefl(nn.Module):
             x = reflect_pad(x, p)
         return nn.Conv(
             self.features, (self.kernel, self.kernel), padding="VALID",
-            use_bias=self.use_bias,
+            use_bias=self.use_bias, dtype=self.dtype,
         )(x)
 
 

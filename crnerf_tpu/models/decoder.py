@@ -66,6 +66,7 @@ class NeuralRenderer(nn.Module):
     n_blocks: int = 0
     min_feat: int = 32
     final_act: str = "sigmoid"  # 'sigmoid' | 'tanh01' | 'none'
+    dtype: jnp.dtype = jnp.float32
 
     def _feat(self, i: int) -> int:
         return max(self.feat_nc // (2 ** i), self.min_feat)
@@ -73,7 +74,8 @@ class NeuralRenderer(nn.Module):
     @nn.compact
     def __call__(self, x):
         """x: (N, H, W, feat_nc) -> (N, H * 2^n_blocks, W * 2^n_blocks, 3)."""
-        rgb = nn.Conv(self.out_dim, (1, 1), name="feat_2_rgb_0")(x)
+        rgb = nn.Conv(self.out_dim, (1, 1), name="feat_2_rgb_0",
+                      dtype=self.dtype)(x)
         net = x
         for i in range(self.n_blocks):
             up = PixelShuffleUpsample(self._feat(i), name=f"upsample_{i}")(net)
@@ -91,6 +93,7 @@ class NeuralRenderer(nn.Module):
                 rgb = Blur(name=f"rgb_blur_{i + 1}")(
                     resize_bilinear(rgb, (rgb.shape[1] * 2, rgb.shape[2] * 2))
                 )
+        rgb = rgb.astype(jnp.float32)
         if self.final_act == "sigmoid":
             return nn.sigmoid(rgb)
         if self.final_act == "tanh01":

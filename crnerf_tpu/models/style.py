@@ -30,13 +30,16 @@ class GramCNN(nn.Module):
 
     matrix_size: int = 32
     in_channel: int = 64
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         n, h, w, _ = x.shape
-        x = leaky_relu(nn.Conv(128, (1, 1), name="conv1")(x))
-        x = leaky_relu(nn.Conv(64, (1, 1), name="conv2")(x))
-        x = nn.Conv(self.matrix_size, (1, 1), name="conv3")(x)
+        dt = self.dtype
+        x = leaky_relu(nn.Conv(128, (1, 1), name="conv1", dtype=dt)(x))
+        x = leaky_relu(nn.Conv(64, (1, 1), name="conv2", dtype=dt)(x))
+        x = nn.Conv(self.matrix_size, (1, 1), name="conv3", dtype=dt)(x)
+        x = x.astype(jnp.float32)  # gram + fc in fp32 (transmatrix quality)
         # gram: (N, C, HW) @ (N, HW, C) / (h*w)
         flat = x.reshape(n, h * w, self.matrix_size)
         gram = jnp.einsum(
@@ -55,6 +58,7 @@ class StyleTransform(nn.Module):
 
     matrix_size: int = 32
     in_channel: int = 64
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, content, style, trans: bool = True):
@@ -68,15 +72,18 @@ class StyleTransform(nn.Module):
         s_mean = jnp.mean(style, axis=(1, 2), keepdims=True)
         sF = style - s_mean
 
-        compress = nn.Conv(m, (1, 1), name="compress")
-        unzip = nn.Conv(self.in_channel, (1, 1), name="unzip")
+        compress = nn.Conv(m, (1, 1), name="compress", dtype=self.dtype)
+        unzip = nn.Conv(self.in_channel, (1, 1), name="unzip",
+                        dtype=self.dtype)
 
         cc = compress(cF)  # (N, Hc, Wc, m)
         if not trans:
             return unzip(cc) + c_mean, None
 
-        c_mat = GramCNN(m, self.in_channel, name="cnet")(cF).reshape(n, m, m)
-        s_mat = GramCNN(m, self.in_channel, name="snet")(sF).reshape(n, m, m)
+        c_mat = GramCNN(m, self.in_channel, name="cnet",
+                        dtype=self.dtype)(cF).reshape(n, m, m)
+        s_mat = GramCNN(m, self.in_channel, name="snet",
+                        dtype=self.dtype)(sF).reshape(n, m, m)
         transmatrix = jnp.einsum(
             "nij,njk->nik", s_mat, c_mat,
             precision=jax.lax.Precision.HIGHEST,
@@ -100,6 +107,7 @@ class StyleNet(nn.Module):
 
     nerf_out_dim: int = 64
     n_upsample_blocks: int = 0  # log2(img/featmap); 0 in the shipped config
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, content_feature, style_feature=None,
@@ -107,10 +115,12 @@ class StyleNet(nn.Module):
         decoder = NeuralRenderer(
             feat_nc=self.nerf_out_dim, out_dim=3,
             n_blocks=self.n_upsample_blocks, name="decoder",
+            dtype=self.dtype,
         )
         if style_feature is None and kind == "content":
             return decoder(content_feature)
         fused, _ = StyleTransform(
-            in_channel=self.nerf_out_dim, name="multi_net"
+            in_channel=self.nerf_out_dim, name="multi_net",
+            dtype=self.dtype,
         )(content_feature, style_feature)
         return decoder(fused)

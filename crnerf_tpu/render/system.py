@@ -61,10 +61,16 @@ def build_modules(cfg: Config) -> SystemModules:
     )
     coarse = mk_mlp()
     fine = mk_mlp() if cfg.N_importance > 0 else None
-    enc_a = AppearanceEncoder(cfg.nerf_out_dim) if cfg.encode_a else None
-    enc_cont = AppearanceEncoder(cfg.nerf_out_dim) if cfg.encode_c else None
+    enc_a = (
+        AppearanceEncoder(cfg.nerf_out_dim, dtype=dt)
+        if cfg.encode_a else None
+    )
+    enc_cont = (
+        AppearanceEncoder(cfg.nerf_out_dim, dtype=dt)
+        if cfg.encode_c else None
+    )
     if cfg.encode_a:
-        decoder = StyleNet(nerf_out_dim=cfg.nerf_out_dim)
+        decoder = StyleNet(nerf_out_dim=cfg.nerf_out_dim, dtype=dt)
     else:
         decoder = get_renderer(cfg.nerf_out_dim, cfg.model_mode)
     mask_net = (
