@@ -184,7 +184,9 @@ class Trainer:
                 )
             if (epoch + 1) % cfg.ckpt_every_epochs == 0 or is_last:
                 host_state = jax.device_get(self.state)
-                self.ckpt.save(global_step, host_state, force=is_last)
+                # force=True: re-training into an existing exp dir
+                # overwrites same-step checkpoints instead of crashing
+                self.ckpt.save(global_step, host_state, force=True)
                 # inference bundle for the eval/video apps
                 save_weights_only(
                     host_state,
