@@ -108,6 +108,10 @@ class Config:
     pallas_train: bool = True  # fused fwd+bwd MLP in the TRAIN step (TPU)
     pallas_interpret: bool = False  # run Pallas routes via the interpreter
     # on CPU (test/CI coverage of the TPU code path)
+    fast_sincos: bool = True  # double-angle recurrence for the posenc
+    # sin/cos sweep on the fused bf16 path (~F x fewer transcendentals;
+    # error ~2^F * 1e-7 ~= 1.6e-3 at F=15, below bf16 quantization).
+    # Only consulted when compute_dtype == 'bfloat16'; fp32 always exact.
     mesh_shape: Tuple[int, ...] = ()  # () = 1D data mesh over all devices
     appearance_wh: Tuple[int, int] = (224, 160)  # fixed (W, H) of whole-image
     # appearance/mask inputs: the reference feeds variable downscale-8 images
@@ -164,8 +168,8 @@ class Config:
 _BOOL_FIELDS = {
     "use_cache", "testit", "use_disp", "pertube_cord", "use_residual",
     "encode_a", "encode_c", "encode_random", "use_mask", "mse_on_appearance",
-    "use_pallas", "pallas_train", "pallas_interpret", "remat",
-    "donate_state", "profile",
+    "use_pallas", "pallas_train", "pallas_interpret", "fast_sincos",
+    "remat", "donate_state", "profile",
 }
 
 

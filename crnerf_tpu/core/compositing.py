@@ -50,6 +50,32 @@ def weights_from_alphas(alphas):
     return alphas * transmittance
 
 
+def composite_packed(out_block, c_out: int, z_vals,
+                     noise_std: float = 0.0,
+                     key: Optional[jax.Array] = None):
+    """Compositing over the RAW fused-kernel lane block (N, S, c_pad):
+    sigmoid features in cols [:c_out], softplus sigma in col c_out, zeros
+    beyond. Skipping the features/sigma minor-dim slices avoids ~800 MB of
+    relayout copies per pass at CR-NeRF train shapes (the slices' transpose
+    was a pad + dynamic-update-slice chain of the same size in backward).
+
+    Returns (weights (N,S), feature_map (N,c_out), depth (N,)) — identical
+    values to ``composite(out_block[...,:c_out], out_block[...,c_out], ...)``.
+    """
+    sigmas = out_block[..., c_out]
+    alphas = compute_alphas(sigmas, z_vals, noise_std, key)
+    weights = weights_from_alphas(alphas)
+    # one einsum over ALL lanes (junk cols produce junk sums, sliced off a
+    # tiny (N, c_pad) result instead of the big operand)
+    fmap = jnp.einsum(
+        "ns,nsc->nc", weights, out_block,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    depth = jnp.sum(weights * z_vals, -1)
+    return weights, fmap[:, :c_out], depth
+
+
 def composite(features, sigmas, z_vals, noise_std: float = 0.0,
               key: Optional[jax.Array] = None):
     """Full compositing pass.

@@ -63,7 +63,17 @@ def sample_pdf(key, bins, weights, n_importance: int, det: bool,
         u = jnp.linspace(0.0, 1.0, n_importance, dtype=cdf.dtype)
         u = jnp.broadcast_to(u, (n_rays, n_importance))
     else:
-        u = jax.random.uniform(key, (n_rays, n_importance), dtype=cdf.dtype)
+        # SORTED uniform draws via normalized exponential spacings: the
+        # set of samples is distributed exactly as iid U[0,1) order
+        # statistics (the reference's iid draws get sorted downstream
+        # anyway — rendering.py:187), and ascending u makes z_fine
+        # ascending, so the coarse+fine union needs only a log-depth
+        # bitonic MERGE instead of a full sort.
+        e = jax.random.exponential(
+            key, (n_rays, n_importance + 1), dtype=cdf.dtype
+        )
+        cs = jnp.cumsum(e, -1)
+        u = cs[:, :-1] / cs[:, -1:]
 
     # Batched searchsorted(side='right'): count of cdf entries <= u. With
     # B ~ 64 bins a dense compare-all is a handful of VPU ops and avoids the
@@ -94,5 +104,26 @@ def sample_pdf(key, bins, weights, n_importance: int, det: bool,
 
 
 def merge_sorted_zvals(z_coarse, z_fine):
-    """Sorted union of coarse and fine samples (rendering.py:187)."""
-    return jnp.sort(jnp.concatenate([z_coarse, z_fine], -1), -1)
+    """Sorted union of coarse and fine samples (rendering.py:187).
+
+    Both inputs are ascending (stratified/perturbed bins are disjoint;
+    ``sample_pdf`` draws sorted uniforms), so [z_coarse, reverse(z_fine)]
+    is bitonic and a log2(S)-stage compare-exchange merge sorts it — a
+    full sorting network is log^2(S) stages. Non-power-of-2 totals fall
+    back to an (unstable) lax.sort.
+    """
+    n = z_coarse.shape[-1] + z_fine.shape[-1]
+    if n & (n - 1) == 0:
+        x = jnp.concatenate([z_coarse, jnp.flip(z_fine, -1)], -1)
+        k = n // 2
+        while k >= 1:
+            y = x.reshape(*x.shape[:-1], -1, 2, k)
+            lo = jnp.minimum(y[..., 0, :], y[..., 1, :])
+            hi = jnp.maximum(y[..., 0, :], y[..., 1, :])
+            x = jnp.stack([lo, hi], axis=-2).reshape(*x.shape)
+            k //= 2
+        return x
+    return jax.lax.sort(
+        jnp.concatenate([z_coarse, z_fine], -1), dimension=-1,
+        is_stable=False,
+    )

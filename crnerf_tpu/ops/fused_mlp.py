@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+ANCHOR_SPAN = 8  # exact sin/cos every 8 octaves in the fast-sincos ladder
 
 
 def _round_up(x: int, m: int) -> int:
@@ -121,29 +122,67 @@ def reference_mlp_apply(params: MlpParams, xyz, dirs, n_emb_xyz: int,
 
 
 # ------------------------------------------------ grouped lane-packed encode
-def _grouped_sincos(v, n_freqs: int):
-    """(N, 3) -> sins (N, 3F), coss (N, 3F) in freq-major-dim-minor order,
-    computed with XLA's exact elementwise transcendentals."""
-    freqs = 2.0 ** np.linspace(0.0, n_freqs - 1, n_freqs)
-    xb = (v[:, None, :] * jnp.asarray(freqs, v.dtype)[:, None]).reshape(
-        v.shape[0], -1
-    )  # (N, F*3) args
-    return jnp.sin(xb), jnp.cos(xb)
+def _grouped_sincos(v, n_freqs: int, exact: bool = True):
+    """(N, D) -> sins (N, D*F), coss (N, D*F) in freq-major-dim-minor order.
+
+    exact=True uses XLA's exact elementwise transcendentals on every
+    2^k * v argument. exact=False evaluates exact sin/cos at anchor
+    octaves (every ANCHOR_SPAN) and climbs in between with the
+    double-angle recurrence (sin 2a = 2 sin a cos a, cos 2a = 1 - 2 sin^2 a)
+    — ~SPAN x fewer transcendentals. Recurrence error grows ~2.8x per
+    octave from each anchor (measured ~2e-4 max at span 8), well under
+    bf16 quantization (4e-3); use only for bf16 compute streams. Requires
+    the CR-NeRF logscale frequency ladder 2^0..2^(F-1).
+    """
+    if exact:
+        freqs = 2.0 ** np.linspace(0.0, n_freqs - 1, n_freqs)
+        xb = (v[:, None, :] * jnp.asarray(freqs, v.dtype)[:, None]).reshape(
+            v.shape[0], -1
+        )  # (N, F*D) args
+        return jnp.sin(xb), jnp.cos(xb)
+    span = ANCHOR_SPAN
+    ss, cs = [], []
+    for a in range(0, n_freqs, span):
+        va = v * (2.0 ** a)
+        s, c = jnp.sin(va), jnp.cos(va)
+        ss.append(s)
+        cs.append(c)
+        for _ in range(min(span, n_freqs - a) - 1):
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            ss.append(s)
+            cs.append(c)
+    n = v.shape[0]
+    return (jnp.stack(ss, axis=1).reshape(n, -1),
+            jnp.stack(cs, axis=1).reshape(n, -1))
 
 
-def grouped_encode(xyz, dirs, n_emb_xyz: int, n_emb_dir: int):
-    """-> (N, enc_cols) lane-packed grouped encode (fp32). One concat
-    builds the padded block directly (single fused materialization)."""
-    sx, cx = _grouped_sincos(xyz.astype(jnp.float32), n_emb_xyz)
-    sd, cd = _grouped_sincos(dirs.astype(jnp.float32), n_emb_dir)
-    parts = [xyz.astype(jnp.float32), sx, cx,
-             dirs.astype(jnp.float32), sd, cd]
+def grouped_encode(xyz, dirs, n_emb_xyz: int, n_emb_dir: int, *,
+                   dir_rep: int = 1, out_dtype=jnp.float32,
+                   exact: bool = True):
+    """-> (N, enc_cols) lane-packed grouped encode in ``out_dtype``. One
+    concat builds the padded block directly (single fused materialization).
+
+    ``dir_rep`` R > 1: ``dirs`` is (N/R, 3) PER-RAY directions, each
+    logically repeated R times (rays-major) — the dir sin/cos sweep runs
+    once per ray instead of once per sample point.
+    """
+    n = xyz.shape[0]
+    sx, cx = _grouped_sincos(xyz.astype(jnp.float32), n_emb_xyz, exact)
+    sd, cd = _grouped_sincos(dirs.astype(jnp.float32), n_emb_dir, exact)
+
+    def rep(a):
+        if dir_rep == 1:
+            return a
+        return jnp.broadcast_to(
+            a[:, None, :], (a.shape[0], dir_rep, a.shape[-1])
+        ).reshape(n, a.shape[-1])
+
+    parts = [xyz, sx, cx, rep(dirs), rep(sd), rep(cd)]
+    parts = [p.astype(out_dtype) for p in parts]
     total = sum(p.shape[-1] for p in parts)
     cols = _round_up(total, LANE)
     if cols != total:
-        parts.append(
-            jnp.zeros((xyz.shape[0], cols - total), jnp.float32)
-        )
+        parts.append(jnp.zeros((n, cols - total), out_dtype))
     return jnp.concatenate(parts, axis=-1)
 
 
@@ -490,8 +529,14 @@ def _make_bwd_kernel(n_layers: int, skips: Tuple[int, ...], c_out: int,
 
 # -------------------------------------------------------------- entry pts
 def _apply_from_enc(params, enc_padded, n, c_out, tile, compute_dtype,
-                    skips, interpret, n_emb_xyz, n_emb_dir):
-    """Run the forward kernel on an already-padded encode block."""
+                    skips, interpret, n_emb_xyz, n_emb_dir,
+                    packed: bool = False):
+    """Run the forward kernel on an already-padded encode block.
+
+    packed=True returns the raw (n, c_pad) kernel output — [features,
+    sigma at col c_out, zeros] — skipping the minor-dim slice to c_out+1
+    columns (an ~800 MB relayout copy per pass at CR-NeRF train shapes;
+    consumers slice small downstream results instead)."""
     c_pad = _round_up(c_out + 1, LANE)
     n_pad = enc_padded.shape[0]
     enc_cols = enc_padded.shape[-1]
@@ -515,37 +560,48 @@ def _apply_from_enc(params, enc_padded, n, c_out, tile, compute_dtype,
         out_shape=jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
         interpret=interpret,
     )(enc_padded, *wargs)
+    if packed:
+        return out[:n]
     return out[:n, : c_out + 1]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_emb_xyz", "n_emb_dir", "tile", "compute_dtype",
-                     "interpret", "skips"),
+                     "interpret", "skips", "dir_rep", "exact_encode",
+                     "packed"),
 )
 def fused_mlp_apply(
     params: MlpParams,
     xyz: jax.Array,            # (N, 3)
-    dirs: jax.Array,           # (N, 3) per-POINT view dirs (pre-broadcast)
+    dirs: jax.Array,           # (N, 3), or (N/dir_rep, 3) per-RAY dirs
     n_emb_xyz: int = 15,
     n_emb_dir: int = 4,
     tile: int = 1024,
     compute_dtype=jnp.float32,
     interpret: bool = False,
     skips: Tuple[int, ...] = (4,),
+    dir_rep: int = 1,
+    exact_encode: bool = True,
+    packed: bool = False,
 ) -> jax.Array:
     """-> (N, C+1) = [sigmoid features, softplus sigma]; matches
     ``reference_mlp_apply`` to fp32 tolerance (the encode itself is
-    computed by XLA outside the kernel)."""
+    computed by XLA outside the kernel). packed=True returns the raw
+    (N, c_pad) lane block instead (features ..., sigma at col C, zeros)."""
     n = xyz.shape[0]
     n_pad = _round_up(max(n, tile), tile)
-    enc = grouped_encode(xyz, dirs, n_emb_xyz, n_emb_dir)
-    # bf16 enc stream when computing in bf16: identical to the kernel's
-    # internal cast, half the HBM traffic
-    enc = jnp.pad(enc.astype(compute_dtype), ((0, n_pad - n), (0, 0)))
+    # encode built directly in the kernel's compute dtype: identical to
+    # the kernel's internal cast, half the HBM traffic when bf16
+    enc = grouped_encode(
+        xyz, dirs, n_emb_xyz, n_emb_dir, dir_rep=dir_rep,
+        out_dtype=compute_dtype, exact=exact_encode,
+    )
+    if n_pad != n:
+        enc = jnp.pad(enc, ((0, n_pad - n), (0, 0)))
     return _apply_from_enc(
         params, enc, n, params.feat_w.shape[1], tile, compute_dtype,
-        skips, interpret, n_emb_xyz, n_emb_dir,
+        skips, interpret, n_emb_xyz, n_emb_dir, packed=packed,
     )
 
 
@@ -600,15 +656,20 @@ def make_fused_mlp_train(
     compute_dtype=jnp.float32,
     skips: Tuple[int, ...] = (4,),
     interpret: bool = False,
+    dir_rep: int = 1,
+    exact_encode: bool = True,
+    packed: bool = False,
 ):
     """Differentiable fused-MLP apply: forward = the Pallas kernel;
     backward = a second Pallas kernel producing WEIGHT gradients only
     (rays/samples carry no trainable inputs). Activations never touch HBM
-    in either pass."""
+    in either pass. packed=True: in/out cotangent in raw (N, c_pad) lane
+    layout (no minor-dim slice/pad round-trips)."""
 
     fwd_kw = dict(n_emb_xyz=n_emb_xyz, n_emb_dir=n_emb_dir, tile=tile,
                   compute_dtype=compute_dtype, skips=skips,
-                  interpret=interpret)
+                  interpret=interpret, dir_rep=dir_rep,
+                  exact_encode=exact_encode, packed=packed)
 
     @jax.custom_vjp
     def apply_fn(params: MlpParams, xyz, dirs):
@@ -621,16 +682,20 @@ def make_fused_mlp_train(
         # fusions in profiles)
         n = xyz.shape[0]
         n_pad = _round_up(max(n, tile), tile)
-        enc = grouped_encode(xyz, dirs, n_emb_xyz, n_emb_dir)
-        enc = jnp.pad(enc.astype(compute_dtype), ((0, n_pad - n), (0, 0)))
+        enc = grouped_encode(
+            xyz, dirs, n_emb_xyz, n_emb_dir, dir_rep=dir_rep,
+            out_dtype=compute_dtype, exact=exact_encode,
+        )
+        if n_pad != n:
+            enc = jnp.pad(enc, ((0, n_pad - n), (0, 0)))
         out = _apply_from_enc(
             params, enc, n, params.feat_w.shape[1], tile, compute_dtype,
-            skips, interpret, n_emb_xyz, n_emb_dir,
+            skips, interpret, n_emb_xyz, n_emb_dir, packed=packed,
         )
         # zero-width carriers keep xyz/dirs shape+dtype in the residuals
         # (dtype objects are not valid residual leaves)
         return out, (params, enc, jnp.zeros((n, 0), xyz.dtype),
-                     jnp.zeros((n, 0), dirs.dtype))
+                     jnp.zeros((dirs.shape[0], 0), dirs.dtype))
 
     def bwd(res, g):
         params, enc, x_proxy, d_proxy = res
@@ -639,8 +704,16 @@ def make_fused_mlp_train(
         c_pad = _round_up(c_out + 1, LANE)
         n_pad = enc.shape[0]
         enc_cols = enc.shape[-1]
-        g_p = jnp.zeros((n_pad, c_pad), jnp.float32)
-        g_p = g_p.at[:n, : c_out + 1].set(g.astype(jnp.float32))
+        if packed:
+            # cotangent arrives in the kernel's lane layout; the bwd
+            # kernel masks with col < c_out / col == c_out, so junk-lane
+            # cotangents are ignored by construction
+            g_p = g.astype(jnp.float32)
+            if n_pad != n:
+                g_p = jnp.pad(g_p, ((0, n_pad - n), (0, 0)))
+        else:
+            g_p = jnp.zeros((n_pad, c_pad), jnp.float32)
+            g_p = g_p.at[:n, : c_out + 1].set(g.astype(jnp.float32))
 
         wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips,
                             compute_dtype)
@@ -670,7 +743,7 @@ def make_fused_mlp_train(
         dparams = _ungroup_grads(dwargs, params, n_emb_xyz, n_emb_dir,
                                  skips)
         return (dparams, jnp.zeros((n, 3), x_proxy.dtype),
-                jnp.zeros((n, 3), d_proxy.dtype))
+                jnp.zeros((d_proxy.shape[0], 3), d_proxy.dtype))
 
     apply_fn.defvjp(fwd, bwd)
     return apply_fn

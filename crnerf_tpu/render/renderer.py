@@ -19,7 +19,7 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from crnerf_tpu.core.compositing import composite
+from crnerf_tpu.core.compositing import composite, composite_packed
 from crnerf_tpu.core.encoding import posenc
 from crnerf_tpu.core.sampling import (
     merge_sorted_zvals,
@@ -32,12 +32,18 @@ from crnerf_tpu.core.sampling import (
 def _eval_mlp(apply_fn, params, xyz, dir_emb, n_emb_xyz, remat,
               pertube_key=None, fused=None):
     """Evaluate a NeRF MLP on (N, S, 3) points with per-ray (N, D) dir
-    embeddings. Returns features (N, S, C) and sigmas (N, S).
+    embeddings.
 
-    ``fused``: optional dict {'raw_dirs': (N,3), 'n_emb_dir': int} — route
-    through the Pallas fused PE+MLP kernel (crnerf_tpu.ops.fused_mlp)
-    instead of the flax chain. Inference-only (the kernel has no VJP);
-    activations stay in VMEM across all 11 layers.
+    Returns features (N, S, C) and sigmas (N, S) on the flax path; on the
+    ``fused`` path (Pallas PE+MLP kernel, crnerf_tpu.ops.fused_mlp) it
+    returns the RAW packed (N, S, c_pad) lane block — features in
+    cols [:C], sigma in col C — for ``composite_packed`` to consume
+    without minor-dim slice round-trips.
+
+    ``fused``: dict {'raw_dirs': (N,3) per-RAY dirs, 'n_emb_dir': int,
+    'train': bool, ...}. The dir sin/cos sweep runs per ray (dir_rep=S),
+    activations stay in VMEM across all 11 layers, and in training the
+    backward routes through the Pallas weight-grad kernel.
     """
     n, s, _ = xyz.shape
     if pertube_key is not None:
@@ -54,36 +60,35 @@ def _eval_mlp(apply_fn, params, xyz, dir_emb, n_emb_xyz, remat,
         )
 
         kp = mlp_params_from_flax(params, depth=fused.get("depth", 8))
-        dirs_pt = jnp.broadcast_to(
-            fused["raw_dirs"][:, None, :], (n, s, 3)
-        ).reshape(n * s, 3)
+        kw = dict(
+            tile=fused.get("tile", 1024),
+            compute_dtype=fused.get("compute_dtype", jnp.float32),
+            interpret=fused.get("interpret", False),
+            dir_rep=s,
+            exact_encode=fused.get("exact_encode", True),
+            packed=True,
+        )
         if fused.get("train"):
             # differentiable path: Pallas fwd + Pallas weight-grad bwd.
             # stop_gradient prunes the (all-zero) data-cotangent flow at
             # trace time — otherwise XLA materializes zero grads for 3M+
             # points and runs the whole ray-gen/encode backward on them.
             apply_train = make_fused_mlp_train(
-                n_emb_xyz, fused["n_emb_dir"],
-                tile=fused.get("tile", 1024),
-                compute_dtype=fused.get("compute_dtype", jnp.float32),
-                interpret=fused.get("interpret", False),
+                n_emb_xyz, fused["n_emb_dir"], **kw
             )
             out = apply_train(
                 kp,
                 jax.lax.stop_gradient(xyz.reshape(n * s, 3)),
-                jax.lax.stop_gradient(dirs_pt),
+                jax.lax.stop_gradient(fused["raw_dirs"]),
             )
         else:
             out = fused_mlp_apply(
-                kp, xyz.reshape(n * s, 3), dirs_pt,
+                kp, xyz.reshape(n * s, 3), fused["raw_dirs"],
                 n_emb_xyz=n_emb_xyz,
                 n_emb_dir=fused["n_emb_dir"],
-                tile=fused.get("tile", 1024),
-                compute_dtype=fused.get("compute_dtype", jnp.float32),
-                interpret=fused.get("interpret", False),
+                **kw,
             )
-        out = out.reshape(n, s, -1)
-        return out[..., :-1], out[..., -1]
+        return out.reshape(n, s, -1)  # packed lane block
 
     def run(xyz_in):
         xyz_emb = posenc(xyz_in, n_emb_xyz)  # (N, S, 93)
@@ -126,13 +131,23 @@ def render_rays(
 
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
-    dir_emb = posenc(rays_d, n_emb_dir)
     fused = None
     if fused_opts is not None:
-        # Pallas fused PE+MLP path (inference only: no VJP)
         fused = dict(fused_opts)
         fused.setdefault("n_emb_dir", n_emb_dir)
         fused["raw_dirs"] = rays_d
+        dir_emb = None  # the fused path encodes raw dirs per ray itself
+    else:
+        dir_emb = posenc(rays_d, n_emb_dir)
+
+    def run_composite(out, z, noise, kn):
+        """Dispatch on _eval_mlp's return convention (packed lane block on
+        the fused path, (features, sigmas) on the flax path)."""
+        if fused is not None:
+            c_out = params["coarse"]["feature"]["kernel"].shape[-1]
+            return composite_packed(out, c_out, z, noise, kn)
+        feats, sigmas = out
+        return composite(feats, sigmas, z, noise, kn)
 
     z_vals = stratified_zvals(near, far, n_samples, use_disp)
     if perturb > 0 and not test_time:
@@ -140,12 +155,12 @@ def render_rays(
 
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     noise = 0.0 if test_time else noise_std
-    feats_c, sigmas_c = _eval_mlp(
+    out_c = _eval_mlp(
         apply_coarse, params["coarse"], xyz, dir_emb, n_emb_xyz, remat,
         kp_c if pertube_cord else None, fused=fused,
     )
-    w_c, fmap_c, depth_c = composite(
-        feats_c, sigmas_c, z_vals, noise, kn_c if noise > 0 else None
+    w_c, fmap_c, depth_c = run_composite(
+        out_c, z_vals, noise, kn_c if noise > 0 else None
     )
     results = {
         "weights_coarse": w_c,
@@ -162,12 +177,12 @@ def render_rays(
     )
     z_all = merge_sorted_zvals(z_vals, z_fine)
     xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
-    feats_f, sigmas_f = _eval_mlp(
+    out_f = _eval_mlp(
         apply_fine, params["fine"], xyz_f, dir_emb, n_emb_xyz, remat,
         kp_f if pertube_cord else None, fused=fused,
     )
-    w_f, fmap_f, depth_f = composite(
-        feats_f, sigmas_f, z_all, noise, kn_f if noise > 0 else None
+    w_f, fmap_f, depth_f = run_composite(
+        out_f, z_all, noise, kn_f if noise > 0 else None
     )
     results.update(
         weights_fine=w_f, feature_fine=fmap_f, depth_fine=depth_f

@@ -233,14 +233,17 @@ class CrNerfSystem:
             # backward through the Pallas weight-grad kernel.
             # pallas_interpret runs the same route through the Pallas
             # interpreter on CPU (CI coverage of the TPU code path).
+            bf16 = cfg.compute_dtype == "bfloat16"
             fused_opts = {
                 "n_emb_dir": cfg.N_emb_dir,
                 "depth": cfg.netdepth,
                 "tile": 1024 if not train else 512,
-                "compute_dtype": jnp.bfloat16
-                if cfg.compute_dtype == "bfloat16" else jnp.float32,
+                "compute_dtype": jnp.bfloat16 if bf16 else jnp.float32,
                 "train": train,
                 "interpret": cfg.pallas_interpret,
+                # recurrence-based sin/cos only where its ~1.6e-3 error is
+                # below the compute stream's own quantization (bf16)
+                "exact_encode": not (cfg.fast_sincos and bf16),
             }
         render_kw = dict(
             n_samples=cfg.N_samples,

@@ -163,15 +163,12 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
                     loc_emb, axis_name
                 ).reshape(-1, *loc_emb.shape[1:])              # (D*G, ...)
 
-            def write(i, cv):
-                c, v = cv
-                c = c.at[loc_ts[i]].set(loc_emb[i])
-                v = v.at[loc_ts[i]].set(True)
-                return c, v
-
-            new_cache, new_valid = jax.lax.fori_loop(
-                0, loc_ts.shape[0], write, (new_cache, new_valid)
-            )
+            # one batched scatter (a fori_loop of per-entry
+            # dynamic-update-slices cost ~7 ms/step at G=16). Duplicate ts
+            # in a batch scatter identical values (same whole_img + params
+            # -> bitwise-equal embeddings), so write order is irrelevant.
+            new_cache = new_cache.at[loc_ts].set(loc_emb)
+            new_valid = new_valid.at[loc_ts].set(True)
 
         new_bs = aux["new_bs"] if aux["new_bs"] is not None else (
             state.batch_stats

@@ -1,0 +1,129 @@
+"""Staged convergence run: N epochs of REAL training compressed into one
+on-device lax.scan, then the standard full-image validation.
+
+Why: on the dev TPU tunnel each step_fn call pays ~1-2 s of host->device
+HTTP latency, so epoch loops that take ~2 min of device time take ~30 min
+of wall clock. This script pre-generates every grid batch with the normal
+TrainPipeline (identical sample stream), uploads them once (whole images
+deduplicated via the appearance stack), scans the real train step over
+them, and runs Trainer.validate on the result. Device math is identical to
+apps/train; only the feeding changes.
+
+Usage:
+  python scripts/quality_run.py --epochs 20 [--grids 1] [--xla]
+      [--no-fast_sincos] [--compute_dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--grids", type=int, default=1)
+    ap.add_argument("--xla", action="store_true",
+                    help="XLA train path instead of the Pallas kernels")
+    ap.add_argument("--fast_sincos", action="store_true", default=True)
+    ap.add_argument("--no-fast_sincos", dest="fast_sincos",
+                    action="store_false")
+    ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--img_wh", type=int, nargs=2, default=(112, 84),
+                    help="synthetic scene resolution (112x84 -> 55 "
+                         "steps/epoch at batch 1024, the BASELINE.md "
+                         "quality-run regime)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    from crnerf_tpu.config import Config
+    from crnerf_tpu.data import make_synthetic_scene
+    from crnerf_tpu.train.loop import Trainer
+    from crnerf_tpu.train.step import make_train_step
+
+    cfg = Config(
+        appearance_wh=(224, 160) if on_tpu else (64, 48),
+        compute_dtype=args.compute_dtype,
+        grids_per_step=args.grids,
+        pallas_train=on_tpu and not args.xla,
+        fast_sincos=args.fast_sincos,
+        num_epochs=args.epochs,
+    )
+    if not on_tpu:
+        cfg = cfg.replace(
+            batch_size=64, N_samples=8, N_importance=8, netdepth=2,
+            netwidth=32, nerf_out_dim=16, N_vocab=10,
+        )
+    wa, ha = cfg.appearance_wh
+    scene = make_synthetic_scene(
+        img_wh=tuple(args.img_wh), appearance_wh=(wa, ha)
+    )
+    trainer = Trainer(cfg, scene)
+    pipe = trainer.pipeline
+    g = max(1, args.grids)
+    steps_per_epoch = trainer.iters_per_epoch
+    total = args.epochs * steps_per_epoch
+    print(f"{steps_per_epoch} steps/epoch x {args.epochs} epochs = {total} "
+          f"steps (G={g})")
+
+    # ---- pre-generate the whole batch stream; dedupe whole images
+    host = []
+    for ep in range(args.epochs):
+        for i in range(steps_per_epoch):
+            b = (pipe.make_global_batch(ep, i, g) if g > 1
+                 else pipe.make_batch(ep, i))
+            b.pop("whole_img")  # rebuilt on device from the stack
+            host.append(b)
+    xs = {k: jnp.asarray(np.stack([b[k] for b in host]))
+          for k in host[0]}
+    app_stack = jnp.asarray(pipe.scene.appearance_stack)  # (n_img, Ha, Wa, 3)
+    n_bytes = sum(v.size * v.dtype.itemsize for v in jax.tree.leaves(xs))
+    print(f"staged {total} batches, {n_bytes / 1e6:.0f} MB")
+
+    step_local = make_train_step(
+        trainer.system, trainer.tx, trainer.lr_sched, grids_per_step=g
+    )
+
+    def body(state, x):
+        idx = x.pop("image_idx")
+        if g > 1:
+            x["whole_img"] = app_stack[idx][:, None]   # (G, 1, Ha, Wa, 3)
+        else:
+            x["whole_img"] = app_stack[idx][None]      # (1, Ha, Wa, 3)
+        state, m = step_local(state, x)
+        return state, {"loss": m["loss"], "psnr": m["psnr"]}
+
+    @jax.jit
+    def run(state, xs):
+        return jax.lax.scan(body, state, xs)
+
+    t0 = time.perf_counter()
+    state, curve = run(trainer.state, xs)
+    last_psnr = float(curve["psnr"][-1])  # forces execution + fetch
+    dt = time.perf_counter() - t0
+    rays = cfg.batch_size * g * total
+    print(f"train: {dt:.1f} s incl. compile, last-step train psnr "
+          f"{last_psnr:.2f}, ~{rays / dt / 1e3:.1f}k rays/s upper-bound")
+
+    trainer.state = state
+    val = trainer.validate()
+    print(f"final val: psnr={val['psnr']:.3f} ssim={val['ssim']:.4f} "
+          f"| epochs={args.epochs} G={g} dtype={cfg.compute_dtype} "
+          f"pallas={cfg.pallas_train} fast_sincos={cfg.fast_sincos}")
+
+
+if __name__ == "__main__":
+    main()

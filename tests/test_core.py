@@ -208,6 +208,32 @@ class TestSamplePdf:
             np.asarray(merge_sorted_zvals(a, b)[0]), [1, 2, 3, 4, 5]
         )
 
+    def test_stochastic_draws_sorted_and_uniform(self):
+        """Non-det samples are ascending per ray (sorted-uniform draws)
+        and match the iid-uniform order-statistics distribution."""
+        bins = jnp.linspace(0.0, 1.0, 65)[None].repeat(2000, 0)
+        w = jnp.ones((2000, 64))
+        s = sample_pdf(jax.random.key(7), bins, w, 64, det=False)
+        sv = np.asarray(s)
+        assert (np.diff(sv, axis=-1) >= -1e-6).all()
+        # with uniform weights the inverse CDF is identity: samples are
+        # sorted U[0,1); their pooled distribution must be uniform
+        flat = np.sort(sv.ravel())
+        grid = np.linspace(0, 1, flat.size)
+        assert np.abs(flat - grid).max() < 0.01  # KS-style bound
+        # k-th order statistic of 64 uniforms has mean k/65
+        means = sv.mean(0)
+        expect = np.arange(1, 65) / 65.0
+        assert np.abs(means - expect).max() < 0.01
+
+    def test_bitonic_merge_matches_sort(self):
+        """Power-of-2 total -> bitonic merge path == full sort."""
+        a = jnp.sort(jax.random.uniform(jax.random.key(0), (37, 64)), -1)
+        b = jnp.sort(jax.random.uniform(jax.random.key(1), (37, 64)), -1)
+        got = merge_sorted_zvals(a, b)
+        want = jnp.sort(jnp.concatenate([a, b], -1), -1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
 
 # ---------------------------------------------------------------- compositing
 class TestCompositing:

@@ -82,6 +82,97 @@ class TestFusedMlp:
         assert float(jnp.abs(ker - ref).max()) < 0.05
 
 
+class TestGroupedEncode:
+    def test_fast_sincos_close_to_exact(self):
+        """Double-angle recurrence vs exact XLA sin/cos: error bounded by
+        ~2^F * fp32-ulp, well under bf16 quantization (4e-3)."""
+        from crnerf_tpu.ops.fused_mlp import _grouped_sincos
+
+        v = jax.random.uniform(jax.random.PRNGKey(0), (500, 3),
+                               minval=-5.0, maxval=5.0)
+        s_e, c_e = _grouped_sincos(v, 15, exact=True)
+        s_f, c_f = _grouped_sincos(v, 15, exact=False)
+        assert float(jnp.abs(s_f - s_e).max()) < 5e-4
+        assert float(jnp.abs(c_f - c_e).max()) < 5e-4
+        # anchor octaves are exact
+        assert float(jnp.abs(s_f[:, :3] - s_e[:, :3]).max()) == 0.0
+        assert float(jnp.abs(s_f[:, 24:27] - s_e[:, 24:27]).max()) == 0.0
+
+    def test_dir_rep_equivalence(self):
+        """Per-ray dirs with dir_rep == pre-broadcast per-point dirs."""
+        from crnerf_tpu.ops.fused_mlp import grouped_encode
+
+        n, s = 20, 6
+        xyz = jax.random.normal(jax.random.PRNGKey(1), (n * s, 3))
+        dirs = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+        dirs_pt = jnp.broadcast_to(
+            dirs[:, None, :], (n, s, 3)
+        ).reshape(n * s, 3)
+        a = grouped_encode(xyz, dirs_pt, 15, 4)
+        b = grouped_encode(xyz, dirs, 15, 4, dir_rep=s)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+    def test_packed_apply_matches_sliced(self):
+        mlp, v, xyz, dirs = _setup_mlp(out_dim=16, depth=4, width=64)
+        p = mlp_params_from_flax(v["params"], depth=4)
+        ref = fused_mlp_apply(p, xyz, dirs, tile=128, interpret=True)
+        raw = fused_mlp_apply(p, xyz, dirs, tile=128, interpret=True,
+                              packed=True)
+        assert raw.shape[-1] % 128 == 0
+        np.testing.assert_allclose(np.asarray(raw[:, :17]), np.asarray(ref),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(raw[:, 17:]), 0.0)
+
+
+class TestCompositePacked:
+    def test_matches_split_composite(self):
+        from crnerf_tpu.core.compositing import composite, composite_packed
+
+        n, s, c = 50, 12, 16
+        feats = jax.random.uniform(jax.random.PRNGKey(0), (n, s, c))
+        sigmas = jax.random.uniform(jax.random.PRNGKey(1), (n, s)) * 3
+        z = jnp.sort(
+            jax.random.uniform(jax.random.PRNGKey(2), (n, s)) * 5 + 0.5,
+            -1,
+        )
+        block = jnp.concatenate(
+            [feats, sigmas[..., None],
+             jnp.zeros((n, s, 128 - c - 1))], -1
+        )
+        w_r, f_r, d_r = composite(feats, sigmas, z)
+        w_p, f_p, d_p = composite_packed(block, c, z)
+        np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_r),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_r),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_r),
+                                   atol=1e-6)
+
+    def test_packed_gradients_match(self):
+        """Grad w.r.t. the packed block == grad via the split composite
+        (junk lanes get zero cotangent from the sliced outputs)."""
+        from crnerf_tpu.core.compositing import composite, composite_packed
+
+        n, s, c = 8, 6, 4
+        block = jax.random.uniform(jax.random.PRNGKey(3), (n, s, 128))
+        z = jnp.sort(
+            jax.random.uniform(jax.random.PRNGKey(4), (n, s)) * 4 + 0.5, -1
+        )
+
+        def loss_packed(b):
+            w, f, d = composite_packed(b, c, z)
+            return jnp.sum(f ** 2) + jnp.sum(d) + jnp.sum(w[:, 0])
+
+        def loss_split(b):
+            w, f, d = composite(b[..., :c], b[..., c], z)
+            return jnp.sum(f ** 2) + jnp.sum(d) + jnp.sum(w[:, 0])
+
+        g_p = jax.grad(loss_packed)(block)
+        g_s = jax.grad(loss_split)(block)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s),
+                                   atol=1e-5)
+
+
 class TestCompositeKernel:
     def _data(self, n=300, s=20, c=48):
         import jax
@@ -179,6 +270,43 @@ class TestFusedMlpTrainVjp:
 
         def loss_ker(p):
             return jnp.sum(apply_train(p, xyz, dirs) * g)
+
+        g_ker = jax.grad(loss_ker)(p)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ker)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=5e-5)
+
+    def test_packed_dir_rep_grads_match_reference(self):
+        """The production train route (packed cotangents, per-ray dirs)
+        produces the same weight grads as jax.grad of the jnp twin."""
+        import jax
+
+        from crnerf_tpu.ops.fused_mlp import make_fused_mlp_train
+
+        mlp, v, xyz, dirs = _setup_mlp(out_dim=16, depth=4, width=64,
+                                       seed=13)
+        p = mlp_params_from_flax(v["params"], depth=4)
+        s = 5
+        dirs_ray = dirs[:60]                     # (60, 3) per-ray
+        xyz_pt = xyz[: 60 * s]                   # (300, 3) points
+        dirs_pt = jnp.broadcast_to(
+            dirs_ray[:, None, :], (60, s, 3)
+        ).reshape(60 * s, 3)
+        g = jax.random.normal(jax.random.PRNGKey(5), (300, 17)) * 0.1
+
+        def loss_ref(p):
+            return jnp.sum(
+                reference_mlp_apply(p, xyz_pt, dirs_pt, 15, 4) * g
+            )
+
+        g_ref = jax.grad(loss_ref)(p)
+        apply_train = make_fused_mlp_train(
+            15, 4, tile=128, interpret=True, dir_rep=s, packed=True
+        )
+        g_pad = jnp.zeros((300, 128)).at[:, :17].set(g)
+
+        def loss_ker(p):
+            return jnp.sum(apply_train(p, xyz_pt, dirs_ray) * g_pad)
 
         g_ker = jax.grad(loss_ker)(p)
         for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ker)):
