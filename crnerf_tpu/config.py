@@ -106,6 +106,10 @@ class Config:
     # fwd+bwd kernels win training (+15% end-to-end).
     use_pallas: bool = False  # fused kernel for INFERENCE renders
     pallas_train: bool = True  # fused fwd+bwd MLP in the TRAIN step (TPU)
+    pallas_render: bool = True  # fuse alpha-compositing INTO the Pallas
+    # kernel (ops/fused_render): per-point features never touch HBM; only
+    # per-ray feature map / weights / depth are written. Applies wherever
+    # the fused kernels run (pallas_train / use_pallas).
     pallas_interpret: bool = False  # run Pallas routes via the interpreter
     # on CPU (test/CI coverage of the TPU code path)
     fast_sincos: bool = True  # double-angle recurrence for the posenc
@@ -168,8 +172,8 @@ class Config:
 _BOOL_FIELDS = {
     "use_cache", "testit", "use_disp", "pertube_cord", "use_residual",
     "encode_a", "encode_c", "encode_random", "use_mask", "mse_on_appearance",
-    "use_pallas", "pallas_train", "pallas_interpret", "fast_sincos",
-    "remat", "donate_state", "profile",
+    "use_pallas", "pallas_train", "pallas_render", "pallas_interpret",
+    "fast_sincos", "remat", "donate_state", "profile",
 }
 
 

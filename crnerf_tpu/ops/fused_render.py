@@ -1,0 +1,630 @@
+"""Fully-fused volume rendering: PE+MLP+alpha-compositing in ONE Pallas
+TPU kernel (forward), with a matching recompute backward kernel.
+
+Motivation (step profile, BASELINE.md): with the MLP kernel alone, the
+per-point feature block (N*S, 128) fp32 round-trips HBM between the kernel
+and XLA's compositing einsum — plus layout copies for the (G, B, S, C)
+views and an equally large outer-product cotangent in backward, ~30 ms of
+the 180 ms step at CR-NeRF train shapes. Here the features NEVER leave
+VMEM: each grid step processes R_TILE whole rays (R_TILE * S points), runs
+the 11-layer MLP, composites along the sample axis in-kernel, and writes
+only per-ray results:
+
+  out_ray (N_rays, 128) f32 — [feature_map(:C) | depth(col C) | zeros]
+  weights (N_rays, S)   f32
+
+Reference math (/root/reference/models/rendering.py:118-143): deltas from
+consecutive z (last = 1e2), alpha = 1 - exp(-delta * relu(sigma + noise)),
+transmittance = shifted exclusive cumprod, weights = alpha * T, outputs =
+weighted feature sum + expected depth.
+
+Mosaic-friendly building blocks (no gathers, no relayouts):
+- flat (T,1) <-> per-ray (R,S) conversions as mask matmuls with the
+  iota masks A[r,t] = [t // S == r] and B[t,s] = [t % S == s]
+- exclusive cumprod along the S lanes via static-shift log-doubling
+  (same scheme as ops/composite.py)
+- the weighted feature reduction as ONE (R,T)@(T,C) MXU matmul against a
+  mask-assembled per-ray weight matrix
+- compositing backward via lane-reversed suffix sums; the 1/(1-alpha)
+  term is clamped at 1e-30 (the pure-jnp twin's cumprod VJP divides by
+  the same quantity unguarded)
+
+Backward produces WEIGHT gradients only (rays/z/noise carry no trainable
+inputs — z is detached by design, SURVEY.md §7), accumulated across the
+sequential grid in constant-index VMEM blocks exactly like
+ops/fused_mlp's backward.
+
+The MLP math is intentionally duplicated from ops/fused_mlp (same weight
+layout/prep helpers are imported); the un-fused kernels remain the
+fallback path behind ``Config.pallas_render``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from crnerf_tpu.core.compositing import DELTA_INF
+from crnerf_tpu.ops.fused_mlp import (
+    LANE,
+    MlpParams,
+    _prep_wargs,
+    _round_up,
+    _ungroup_grads,
+    grouped_encode,
+    reference_mlp_apply,
+)
+
+
+# ------------------------------------------------------------ jnp twin
+def reference_render_apply(params: MlpParams, xyz, dirs, z_vals,
+                           noise, n_emb_xyz: int, n_emb_dir: int,
+                           skips: Tuple[int, ...] = (4,)):
+    """Pure-jnp twin: xyz (N,S,3), dirs (N,3), z_vals (N,S), noise (N,S)
+    -> (feature_map (N,C), weights (N,S), depth (N,))."""
+    n, s, _ = xyz.shape
+    dirs_pt = jnp.broadcast_to(dirs[:, None, :], (n, s, 3)).reshape(-1, 3)
+    out = reference_mlp_apply(params, xyz.reshape(-1, 3), dirs_pt,
+                              n_emb_xyz, n_emb_dir, skips)
+    c = out.shape[-1] - 1
+    feats = out[:, :c].reshape(n, s, c)
+    sigmas = out[:, c].reshape(n, s)
+    deltas = jnp.concatenate(
+        [z_vals[:, 1:] - z_vals[:, :-1],
+         jnp.full_like(z_vals[:, :1], DELTA_INF)], -1
+    )
+    alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigmas + noise))
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[:, :1]), 1.0 - alphas[:, :-1]], -1
+    )
+    weights = alphas * jnp.cumprod(shifted, -1)
+    fmap = jnp.einsum("ns,nsc->nc", weights, feats,
+                      preferred_element_type=jnp.float32)
+    depth = jnp.sum(weights * z_vals, -1)
+    return fmap, weights, depth
+
+
+# ----------------------------------------------------- in-kernel helpers
+def _ray_masks(r_tile: int, s: int, dtype):
+    """A (R,T): [t//S == r]; B (T,S): [t%S == s] as traced iota masks."""
+    t = r_tile * s
+    rows_a = jax.lax.broadcasted_iota(jnp.int32, (r_tile, t), 0)
+    cols_a = jax.lax.broadcasted_iota(jnp.int32, (r_tile, t), 1)
+    a = (cols_a // s == rows_a).astype(dtype)
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+    b = (rows_b % s == cols_b).astype(dtype)
+    return a, b
+
+
+def _flat_to_rs(col, a, b):
+    """(T,1) column -> (R,S): A @ (broadcast(col) * B)."""
+    t, s = b.shape
+    spread = jnp.broadcast_to(col, (t, s)) * b
+    return jax.lax.dot_general(
+        a, spread, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _rs_to_flat(mat_rs, a, b):
+    """(R,S) -> (T,1) column: rowsum((A^T @ mat) * B)."""
+    d = jax.lax.dot_general(
+        a, mat_rs, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, S)
+    return jnp.sum(d * b, axis=1, keepdims=True)
+
+
+def _exclusive_cumprod_lanes(x):
+    """(R, S) exclusive cumprod along lanes via static-shift doubling."""
+    r, s = x.shape
+    p = jnp.concatenate([jnp.ones((r, 1), jnp.float32), x[:, :-1]], -1)
+    shift = 1
+    while shift < s:
+        p = p * jnp.concatenate(
+            [jnp.ones((r, shift), jnp.float32), p[:, :-shift]], -1
+        )
+        shift *= 2
+    return p
+
+
+def _reverse_exclusive_cumsum_lanes(x):
+    """(R, S) suffix sums EXCLUDING self: out[:, i] = sum_{k>i} x[:, k]."""
+    r, s = x.shape
+    p = jnp.concatenate([x[:, 1:], jnp.zeros((r, 1), jnp.float32)], -1)
+    shift = 1
+    while shift < s:
+        p = p + jnp.concatenate(
+            [p[:, shift:], jnp.zeros((r, shift), jnp.float32)], -1
+        )
+        shift *= 2
+    return p
+
+
+def _composite_fwd_math(sigma_col, z, noise, a, b, s: int):
+    """Shared fwd compositing: flat sigma column + per-ray z/noise ->
+    (alphas, transmittance, weights, w_big) all in (R,S)/(R,T)."""
+    sigma_rs = _flat_to_rs(sigma_col, a, b)                  # (R, S)
+    deltas = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.zeros((z.shape[0], 1), z.dtype)], -1
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, deltas.shape, 1)
+    deltas = jnp.where(col == s - 1, DELTA_INF, deltas)
+    act = jnp.maximum(sigma_rs + noise, 0.0)
+    alphas = 1.0 - jnp.exp(-deltas * act)
+    trans = _exclusive_cumprod_lanes(1.0 - alphas)
+    weights = alphas * trans
+    # per-ray weight matrix over the tile's points:
+    # W_big[r, t] = weights[r, t % S] * [t // S == r]
+    w_spread = jax.lax.dot_general(
+        weights, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (R, T)
+    w_big = w_spread * a
+    return sigma_rs, deltas, act, alphas, trans, weights, w_big
+
+
+# ---------------------------------------------------------- MLP snippets
+def _mlp_fwd(enc, nxt, n_layers, skips, dt, keep_acts: bool):
+    """In-kernel MLP forward from the encode block. ``nxt()`` yields the
+    weight refs in _prep_wargs order. Returns (acts, z_sig, hf, zd, dd,
+    z_feat, feat) — acts/pre-activations only populated when keep_acts."""
+    f32 = jnp.float32
+
+    def mm(a, w):
+        return jnp.dot(a.astype(dt), w.astype(dt),
+                       preferred_element_type=f32)
+
+    layers = []
+    acts = []
+    w0, b0 = nxt(), nxt()
+    h = mm(enc, w0[:]) + b0[:]
+    h = jnp.maximum(h, 0.0).astype(dt)
+    layers.append(("enc", (w0, b0), None))
+    acts.append(h)
+    for i in range(1, n_layers):
+        if i in skips:
+            we, wh, bb = nxt(), nxt(), nxt()
+            h_new = mm(enc, we[:]) + mm(h, wh[:]) + bb[:]
+            layers.append(("skip", (we, wh, bb), h if keep_acts else None))
+        else:
+            ww, bb = nxt(), nxt()
+            h_new = mm(h, ww[:]) + bb[:]
+            layers.append(("dense", (ww, bb), h if keep_acts else None))
+        h = jnp.maximum(h_new, 0.0).astype(dt)
+        acts.append(h)
+
+    sw, sb = nxt(), nxt()
+    z_sig = jnp.dot(h.astype(f32), sw[:].astype(f32),
+                    preferred_element_type=f32) + sb[:]
+    fw, fb = nxt(), nxt()
+    hf = (mm(h, fw[:]) + fb[:]).astype(dt)
+    wd_h, wd_e, bd = nxt(), nxt(), nxt()
+    zd = mm(hf, wd_h[:]) + mm(enc, wd_e[:]) + bd[:]
+    dd = jnp.maximum(zd, 0.0).astype(dt)
+    fw2, fb2 = nxt(), nxt()
+    z_feat = mm(dd, fw2[:]) + fb2[:]
+    feat = jax.nn.sigmoid(z_feat)
+    return layers, acts, z_sig, hf, dd, feat
+
+
+# ---------------------------------------------------------------- kernels
+def _make_render_fwd_kernel(n_layers, skips, c_out, compute_dtype,
+                            r_tile, s):
+    def kernel(enc_ref, z_ref, noise_ref, *refs):
+        out_ray_ref, w_ref = refs[-2], refs[-1]
+        w_refs = refs[:-2]
+        widx = 0
+
+        def nxt():
+            nonlocal widx
+            r = w_refs[widx]
+            widx += 1
+            return r
+
+        enc = enc_ref[:, :]
+        _, _, z_sig, _, _, feat = _mlp_fwd(
+            enc, nxt, n_layers, skips, compute_dtype, keep_acts=False
+        )
+        sigma = jax.nn.softplus(z_sig[:, :1])            # (T, 1)
+
+        a, b = _ray_masks(r_tile, s, jnp.float32)
+        z = z_ref[:, :]
+        noise = noise_ref[:, :]
+        _, _, _, _, _, weights, w_big = _composite_fwd_math(
+            sigma, z, noise, a, b, s
+        )
+        fmap = jnp.dot(w_big, feat, preferred_element_type=jnp.float32)
+        depth = jnp.sum(weights * z, axis=-1, keepdims=True)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, fmap.shape, 1)
+        depth_b = jnp.broadcast_to(depth, fmap.shape)
+        out_ray_ref[:, :] = jnp.where(
+            col < c_out, fmap, jnp.where(col == c_out, depth_b, 0.0)
+        )
+        w_ref[:, :] = weights
+
+    return kernel
+
+
+def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
+                            r_tile, s, n_w):
+    """Recompute MLP+composite, backprop through both, accumulate weight
+    grads in constant-index output blocks."""
+
+    def kernel(enc_ref, z_ref, noise_ref, g_ray_ref, g_w_ref, *refs):
+        w_refs = refs[:n_w]
+        d_refs = refs[n_w:]
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for r in d_refs:
+                r[:, :] = jnp.zeros_like(r)
+
+        widx = 0
+
+        def nxt():
+            nonlocal widx
+            i = widx
+            widx += 1
+            return w_refs[i], d_refs[i]
+
+        dt = compute_dtype
+        f32 = jnp.float32
+
+        def mm_t(a_, dz):
+            return jax.lax.dot_general(
+                a_.astype(dt), dz.astype(dt),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+        def mm_bt(dz, w):
+            return jax.lax.dot_general(
+                dz.astype(dt), w.astype(dt),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+        # ---- recompute forward (weights as (ref, dref) pairs)
+        pairs = []
+
+        def nxt_ref():
+            p = nxt()
+            pairs.append(p)
+            return p[0]
+
+        enc = enc_ref[:, :]
+        layers, acts, z_sig, hf, dd, feat = _mlp_fwd(
+            enc, nxt_ref, n_layers, skips, dt, keep_acts=True
+        )
+        # pairs are appended in _prep_wargs order; recover by position:
+        # trunk pairs first, then sigma(2), final(2), dir(3), feat(2)
+        sigma = jax.nn.softplus(z_sig[:, :1])
+
+        a, b = _ray_masks(r_tile, s, f32)
+        z = z_ref[:, :]
+        noise = noise_ref[:, :]
+        (sigma_rs, deltas, act, alphas, trans, weights,
+         w_big) = _composite_fwd_math(sigma, z, noise, a, b, s)
+
+        # ---- composite backward
+        g_ray = g_ray_ref[:, :]                         # (R, 128)
+        col = jax.lax.broadcasted_iota(jnp.int32, g_ray.shape, 1)
+        dfmap = jnp.where(col < c_out, g_ray, 0.0)      # (R, 128)
+        ddepth = jnp.sum(
+            jnp.where(col == c_out, g_ray, 0.0), axis=1, keepdims=True
+        )                                               # (R, 1)
+
+        # dL/dweights: direct cotangent + depth + feature-map terms.
+        # feature term: dw[r,s] = sum_c dfmap[r,c] * feat[r*S+s, c]
+        #   = ((dfmap @ feat^T) * A) @ B   -- (R,T) masked to own rays
+        g_ft = jax.lax.dot_general(
+            dfmap.astype(f32), feat.astype(f32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (R, T)
+        dw_feat = jax.lax.dot_general(
+            g_ft * a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (R, S)
+        dw = g_w_ref[:, :] + ddepth * z + dw_feat       # (R, S)
+
+        # dalpha_i = T_i dw_i - (sum_{k>i} w_k dw_k) / (1 - alpha_i)
+        suffix = _reverse_exclusive_cumsum_lanes(weights * dw)
+        one_m = jnp.maximum(1.0 - alphas, 1e-30)
+        dalpha = trans * dw - suffix / one_m
+        # alpha = 1 - exp(-delta * act); act = relu(sigma_rs + noise)
+        dact = dalpha * deltas * jnp.exp(-deltas * act)
+        dsigma_rs = jnp.where(sigma_rs + noise > 0, dact, 0.0)
+        dsigma_col = _rs_to_flat(dsigma_rs, a, b)        # (T, 1)
+
+        # dfeat per point: W_big^T @ dfmap -> (T, 128); cols >= c_out are
+        # zero already (dfmap was masked to col < c_out)
+        dfeat = jax.lax.dot_general(
+            w_big, dfmap.astype(f32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+        # ---- MLP backward (mirrors ops/fused_mlp._make_bwd_kernel)
+        n_trunk_pairs = len(pairs) - 9
+        trunk_pairs = pairs[:n_trunk_pairs]
+        sw, sb = pairs[n_trunk_pairs], pairs[n_trunk_pairs + 1]
+        fw, fb = pairs[n_trunk_pairs + 2], pairs[n_trunk_pairs + 3]
+        wd_h, wd_e, bd = (pairs[n_trunk_pairs + 4],
+                          pairs[n_trunk_pairs + 5],
+                          pairs[n_trunk_pairs + 6])
+        fw2, fb2 = pairs[n_trunk_pairs + 7], pairs[n_trunk_pairs + 8]
+
+        dz_feat = dfeat * feat * (1.0 - feat)
+        fw2[1][:, :] += mm_t(dd, dz_feat)
+        fb2[1][:, :] += jnp.sum(dz_feat, axis=0, keepdims=True)
+        ddd = mm_bt(dz_feat, fw2[0][:])
+        ddd = jnp.where(dd.astype(f32) > 0, ddd, 0.0)
+
+        wd_h[1][:, :] += mm_t(hf, ddd)
+        wd_e[1][:, :] += mm_t(enc, ddd)
+        bd[1][:, :] += jnp.sum(ddd, axis=0, keepdims=True)
+        dhf = mm_bt(ddd, wd_h[0][:])
+
+        fw[1][:, :] += mm_t(acts[-1], dhf)
+        fb[1][:, :] += jnp.sum(dhf, axis=0, keepdims=True)
+        dh = mm_bt(dhf, fw[0][:])
+
+        dz_sig = dsigma_col * jax.nn.sigmoid(z_sig[:, :1])
+        sig_col = jax.lax.broadcasted_iota(jnp.int32, z_sig.shape, 1)
+        dz_sig_b = jnp.where(
+            sig_col == 0, jnp.broadcast_to(dz_sig, z_sig.shape), 0.0
+        )
+        sw[1][:, :] += mm_t(acts[-1].astype(f32), dz_sig_b)
+        sb[1][:, :] += jnp.sum(dz_sig_b, axis=0, keepdims=True)
+        dh = dh + jax.lax.dot_general(
+            dz_sig_b, sw[0][:].astype(f32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+        for i in range(n_layers - 1, -1, -1):
+            dz = jnp.where(acts[i].astype(f32) > 0, dh, 0.0)
+            kind, _, prev = layers[i]
+            if kind == "enc":
+                w0p, b0p = trunk_pairs[0], trunk_pairs[1]
+                w0p[1][:, :] += mm_t(enc, dz)
+                b0p[1][:, :] += jnp.sum(dz, axis=0, keepdims=True)
+                dh = None
+            elif kind == "skip":
+                base = 2 + 3 * sum(
+                    1 for j in range(1, i) if j in skips
+                ) + 2 * sum(1 for j in range(1, i) if j not in skips)
+                wep, whp, bbp = (trunk_pairs[base], trunk_pairs[base + 1],
+                                 trunk_pairs[base + 2])
+                wep[1][:, :] += mm_t(enc, dz)
+                whp[1][:, :] += mm_t(prev, dz)
+                bbp[1][:, :] += jnp.sum(dz, axis=0, keepdims=True)
+                dh = mm_bt(dz, whp[0][:])
+            else:
+                base = 2 + 3 * sum(
+                    1 for j in range(1, i) if j in skips
+                ) + 2 * sum(1 for j in range(1, i) if j not in skips)
+                wwp, bbp = trunk_pairs[base], trunk_pairs[base + 1]
+                wwp[1][:, :] += mm_t(prev, dz)
+                bbp[1][:, :] += jnp.sum(dz, axis=0, keepdims=True)
+                dh = mm_bt(dz, wwp[0][:])
+
+    return kernel
+
+
+# --------------------------------------------------------------- entry
+def _pad_rays(x, n_pad, n):
+    return jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_emb_xyz", "n_emb_dir", "r_tile", "compute_dtype",
+                     "interpret", "skips", "exact_encode"),
+)
+def fused_render_apply(
+    params: MlpParams,
+    xyz: jax.Array,        # (N, S, 3)
+    dirs: jax.Array,       # (N, 3) per-ray
+    z_vals: jax.Array,     # (N, S)
+    noise: jax.Array,      # (N, S) sigma noise (zeros at eval)
+    n_emb_xyz: int = 15,
+    n_emb_dir: int = 4,
+    r_tile: int = 0,       # rays per grid step; 0 -> 512-point tiles
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+    skips: Tuple[int, ...] = (4,),
+    exact_encode: bool = True,
+):
+    """-> (ray_block (N, 128) f32 [fmap(:C) | depth(col C)], weights
+    (N, S) f32). Matches ``reference_render_apply`` to fp32 tolerance."""
+    n, s, _ = xyz.shape
+    if r_tile <= 0:
+        r_tile = max(8, 512 // s)  # >= 8: f32 sublane granularity
+    t = r_tile * s
+    n_pad = _round_up(max(n, r_tile), r_tile)
+    c_out = params.feat_w.shape[1]
+    c_pad = _round_up(c_out + 1, LANE)
+    s_pad = s  # S must be lane-friendly; CR-NeRF uses 64/128
+
+    enc = grouped_encode(
+        xyz.reshape(-1, 3), dirs, n_emb_xyz, n_emb_dir, dir_rep=s,
+        out_dtype=compute_dtype, exact=exact_encode,
+    )
+    enc = jnp.pad(enc, ((0, (n_pad - n) * s), (0, 0)))
+    z_p = _pad_rays(z_vals.astype(jnp.float32), n_pad, n)
+    no_p = _pad_rays(noise.astype(jnp.float32), n_pad, n)
+
+    wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips, compute_dtype)
+    kernel = _make_render_fwd_kernel(
+        len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s
+    )
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_ray, weights = pl.pallas_call(
+        kernel,
+        grid=(n_pad // r_tile,),
+        in_specs=[
+            pl.BlockSpec((t, enc.shape[-1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_tile, s_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_tile, s_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [const(w.shape) for w in wargs],
+        out_specs=[
+            pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_tile, s_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, s_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(enc, z_p, no_p, *wargs)
+    return out_ray[:n], weights[:n]
+
+
+@functools.lru_cache(maxsize=32)
+def make_fused_render_train(
+    n_emb_xyz: int = 15,
+    n_emb_dir: int = 4,
+    s: int = 128,
+    r_tile: int = 0,
+    compute_dtype=jnp.float32,
+    skips: Tuple[int, ...] = (4,),
+    interpret: bool = False,
+    exact_encode: bool = True,
+):
+    """Differentiable fused render: forward = the fused MLP+composite
+    kernel; backward = one recompute kernel emitting WEIGHT grads only.
+    Cotangents arrive for (ray_block, weights); z/noise/rays get zeros."""
+    if r_tile <= 0:
+        r_tile = max(8, 512 // s)  # >= 8: f32 sublane granularity
+    fwd_kw = dict(n_emb_xyz=n_emb_xyz, n_emb_dir=n_emb_dir, r_tile=r_tile,
+                  compute_dtype=compute_dtype, skips=skips,
+                  interpret=interpret, exact_encode=exact_encode)
+
+    @jax.custom_vjp
+    def apply_fn(params: MlpParams, xyz, dirs, z_vals, noise):
+        return fused_render_apply(params, xyz, dirs, z_vals, noise,
+                                  **fwd_kw)
+
+    def fwd(params, xyz, dirs, z_vals, noise):
+        n = xyz.shape[0]
+        n_pad = _round_up(max(n, r_tile), r_tile)
+        enc = grouped_encode(
+            xyz.reshape(-1, 3), dirs, n_emb_xyz, n_emb_dir, dir_rep=s,
+            out_dtype=compute_dtype, exact=exact_encode,
+        )
+        enc = jnp.pad(enc, ((0, (n_pad - n) * s), (0, 0)))
+        z_p = _pad_rays(z_vals.astype(jnp.float32), n_pad, n)
+        no_p = _pad_rays(noise.astype(jnp.float32), n_pad, n)
+        out = _call_fwd(params, enc, z_p, no_p, n)
+        return out, (params, enc, z_p, no_p,
+                     jnp.zeros((n, 0), xyz.dtype),
+                     jnp.zeros((dirs.shape[0], 0), dirs.dtype))
+
+    def _call_fwd(params, enc, z_p, no_p, n):
+        c_out = params.feat_w.shape[1]
+        c_pad = _round_up(c_out + 1, LANE)
+        n_pad = z_p.shape[0]
+        t = r_tile * s
+        wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips,
+                            compute_dtype)
+        kernel = _make_render_fwd_kernel(
+            len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s
+        )
+        const = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        out_ray, weights = pl.pallas_call(
+            kernel,
+            grid=(n_pad // r_tile,),
+            in_specs=[
+                pl.BlockSpec((t, enc.shape[-1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [const(w.shape) for w in wargs],
+            out_specs=[
+                pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, s), jnp.float32),
+            ],
+            interpret=interpret,
+        )(enc, z_p, no_p, *wargs)
+        return out_ray[:n], weights[:n]
+
+    def bwd(res, g):
+        params, enc, z_p, no_p, x_proxy, d_proxy = res
+        g_ray, g_w = g
+        n = x_proxy.shape[0]
+        n_pad = z_p.shape[0]
+        c_out = params.feat_w.shape[1]
+        c_pad = _round_up(c_out + 1, LANE)
+        t = r_tile * s
+        g_ray_p = _pad_rays(g_ray.astype(jnp.float32), n_pad, n)
+        g_w_p = _pad_rays(g_w.astype(jnp.float32), n_pad, n)
+
+        wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips,
+                            compute_dtype)
+        n_w = len(wargs)
+        kernel = _make_render_bwd_kernel(
+            len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s,
+            n_w,
+        )
+        const = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        dwargs = pl.pallas_call(
+            kernel,
+            grid=(n_pad // r_tile,),
+            in_specs=[
+                pl.BlockSpec((t, enc.shape[-1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [const(w.shape) for w in wargs],
+            out_specs=[const(w.shape) for w in wargs],
+            out_shape=[
+                jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wargs
+            ],
+            interpret=interpret,
+        )(enc, z_p, no_p, g_ray_p, g_w_p, *wargs)
+        dparams = _ungroup_grads(dwargs, params, n_emb_xyz, n_emb_dir,
+                                 skips)
+        return (dparams,
+                jnp.zeros((n, s, 3), x_proxy.dtype),
+                jnp.zeros((d_proxy.shape[0], 3), d_proxy.dtype),
+                jnp.zeros((n, s), jnp.float32),
+                jnp.zeros((n, s), jnp.float32))
+
+    apply_fn.defvjp(fwd, bwd)
+    return apply_fn

@@ -101,6 +101,47 @@ def _eval_mlp(apply_fn, params, xyz, dir_emb, n_emb_xyz, remat,
     return out[..., :-1], out[..., -1]
 
 
+def _full_fused_eval(flax_params, xyz, rays_d, z_vals, noise_std,
+                     kn, n_emb_xyz, fused, pertube_key=None):
+    """One-kernel render of a pass: PE+MLP+compositing fused
+    (crnerf_tpu.ops.fused_render). Returns (ray_block (N, c_pad) —
+    feature_map in [:C], depth at col C — and weights (N, S)).
+
+    The sigma noise (reference rendering.py:125-126) is drawn OUTSIDE and
+    fed to the kernel so train/eval share one kernel body."""
+    from crnerf_tpu.ops.fused_mlp import mlp_params_from_flax
+    from crnerf_tpu.ops.fused_render import (
+        fused_render_apply,
+        make_fused_render_train,
+    )
+
+    n, s, _ = xyz.shape
+    if pertube_key is not None:
+        xyz = xyz + 1e-5 * jax.random.uniform(pertube_key, xyz.shape,
+                                              xyz.dtype)
+    kp = mlp_params_from_flax(flax_params, depth=fused.get("depth", 8))
+    if noise_std > 0 and kn is not None:
+        noise = noise_std * jax.random.normal(kn, (n, s), jnp.float32)
+    else:
+        noise = jnp.zeros((n, s), jnp.float32)
+    kw = dict(
+        compute_dtype=fused.get("compute_dtype", jnp.float32),
+        interpret=fused.get("interpret", False),
+        exact_encode=fused.get("exact_encode", True),
+    )
+    if fused.get("train"):
+        fn = make_fused_render_train(
+            n_emb_xyz, fused["n_emb_dir"], s=s, **kw
+        )
+        sg = jax.lax.stop_gradient
+        return fn(kp, sg(xyz), sg(fused["raw_dirs"]), sg(z_vals),
+                  sg(noise))
+    return fused_render_apply(
+        kp, xyz, fused["raw_dirs"], z_vals, noise,
+        n_emb_xyz=n_emb_xyz, n_emb_dir=fused["n_emb_dir"], **kw,
+    )
+
+
 def render_rays(
     apply_coarse: Callable,
     apply_fine: Optional[Callable],
@@ -155,12 +196,27 @@ def render_rays(
 
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     noise = 0.0 if test_time else noise_std
-    out_c = _eval_mlp(
-        apply_coarse, params["coarse"], xyz, dir_emb, n_emb_xyz, remat,
-        kp_c if pertube_cord else None, fused=fused,
-    )
-    w_c, fmap_c, depth_c = run_composite(
-        out_c, z_vals, noise, kn_c if noise > 0 else None
+    full = fused is not None and fused.get("full")
+
+    def run_pass(p, xyz_in, z, kn, kp):
+        """One MLP+composite pass -> (weights, feature_map, depth)."""
+        if full:
+            blk, w = _full_fused_eval(
+                p, xyz_in, rays_d, z, noise, kn, n_emb_xyz, fused,
+                kp if pertube_cord else None,
+            )
+            c_out = p["feature"]["kernel"].shape[-1]
+            return w, blk[:, :c_out], blk[:, c_out]
+        out = _eval_mlp(
+            apply_coarse if p is params["coarse"] else apply_fine,
+            p, xyz_in, dir_emb, n_emb_xyz, remat,
+            kp if pertube_cord else None, fused=fused,
+        )
+        return run_composite(out, z, noise, kn)
+
+    w_c, fmap_c, depth_c = run_pass(
+        params["coarse"], xyz, z_vals,
+        kn_c if noise > 0 else None, kp_c,
     )
     results = {
         "weights_coarse": w_c,
@@ -177,12 +233,9 @@ def render_rays(
     )
     z_all = merge_sorted_zvals(z_vals, z_fine)
     xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
-    out_f = _eval_mlp(
-        apply_fine, params["fine"], xyz_f, dir_emb, n_emb_xyz, remat,
-        kp_f if pertube_cord else None, fused=fused,
-    )
-    w_f, fmap_f, depth_f = run_composite(
-        out_f, z_all, noise, kn_f if noise > 0 else None
+    w_f, fmap_f, depth_f = run_pass(
+        params["fine"], xyz_f, z_all,
+        kn_f if noise > 0 else None, kp_f,
     )
     results.update(
         weights_fine=w_f, feature_fine=fmap_f, depth_fine=depth_f

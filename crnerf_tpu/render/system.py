@@ -241,9 +241,10 @@ class CrNerfSystem:
                 "compute_dtype": jnp.bfloat16 if bf16 else jnp.float32,
                 "train": train,
                 "interpret": cfg.pallas_interpret,
-                # recurrence-based sin/cos only where its ~1.6e-3 error is
+                # recurrence-based sin/cos only where its ~2e-4 error is
                 # below the compute stream's own quantization (bf16)
                 "exact_encode": not (cfg.fast_sincos and bf16),
+                "full": cfg.pallas_render,
             }
         render_kw = dict(
             n_samples=cfg.N_samples,

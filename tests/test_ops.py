@@ -250,6 +250,47 @@ class TestFusedRendererPath:
         )
 
 
+class TestFullFusedRendererPath:
+    def test_render_rays_full_fused_matches_flax(self):
+        """render_rays with MLP+composite fused in one kernel (interpret)
+        == flax path at test time."""
+        from crnerf_tpu.render.renderer import render_rays
+
+        mlp, v, _, _ = _setup_mlp(out_dim=16, depth=4, width=64)
+        params = {"coarse": v["params"], "fine": v["params"]}
+        apply_fn = lambda p, x, d: mlp.apply({"params": p}, x, d)  # noqa
+
+        n = 40
+        o = jax.random.normal(jax.random.PRNGKey(3), (n, 3))
+        d = jax.random.normal(jax.random.PRNGKey(4), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.concatenate(
+            [o, d, jnp.full((n, 1), 0.5), jnp.full((n, 1), 4.0)], -1
+        )
+        kw = dict(n_samples=8, n_importance=8, test_time=True,
+                  perturb=0.0, noise_std=0.0)
+        ref = render_rays(apply_fn, apply_fn, params, rays,
+                          jax.random.PRNGKey(0), **kw)
+        fused = render_rays(
+            apply_fn, apply_fn, params, rays, jax.random.PRNGKey(0),
+            fused_opts={"n_emb_dir": 4, "depth": 4, "interpret": True,
+                        "full": True},
+            **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused["feature_fine"]),
+            np.asarray(ref["feature_fine"]), atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused["weights_coarse"]),
+            np.asarray(ref["weights_coarse"]), atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused["depth_fine"]),
+            np.asarray(ref["depth_fine"]), atol=5e-4,
+        )
+
+
 class TestFusedMlpTrainVjp:
     def test_weight_grads_match_reference(self):
         """Custom-VJP Pallas backward == jax.grad of the jnp reference."""
@@ -325,3 +366,99 @@ class TestFusedMlpTrainVjp:
             lambda x: jnp.sum(apply_train(p, x, dirs))
         )(xyz)
         np.testing.assert_array_equal(np.asarray(gx), 0.0)
+
+
+class TestFusedRender:
+    """MLP+compositing fused kernel vs the jnp twin (interpret mode)."""
+
+    def _setup(self, n=24, s=16, out_dim=16, depth=4, width=64, seed=3):
+        mlp = NerfMLP(depth=depth, width=width, out_dim=out_dim)
+        xyz = jax.random.normal(jax.random.PRNGKey(seed + 1), (n, s, 3))
+        dirs = jax.random.normal(jax.random.PRNGKey(seed + 2), (n, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        v = mlp.init(jax.random.PRNGKey(seed),
+                     posenc(xyz[:, 0], 15), posenc(dirs, 4))
+        p = mlp_params_from_flax(v["params"], depth=depth)
+        z = jnp.sort(
+            jax.random.uniform(jax.random.PRNGKey(seed + 3), (n, s)) * 4
+            + 0.5, -1,
+        )
+        noise = jax.random.normal(jax.random.PRNGKey(seed + 4), (n, s))
+        return p, xyz, dirs, z, noise
+
+    def test_forward_matches_twin(self):
+        from crnerf_tpu.ops.fused_render import (
+            fused_render_apply, reference_render_apply,
+        )
+
+        p, xyz, dirs, z, noise = self._setup()
+        fmap_r, w_r, d_r = reference_render_apply(p, xyz, dirs, z, noise,
+                                                  15, 4)
+        ray_blk, w_k = fused_render_apply(
+            p, xyz, dirs, z, noise, r_tile=8, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_r),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(ray_blk[:, :16]),
+                                   np.asarray(fmap_r), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ray_blk[:, 16]),
+                                   np.asarray(d_r), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(ray_blk[:, 17:]), 0.0)
+
+    def test_forward_ray_padding(self):
+        from crnerf_tpu.ops.fused_render import (
+            fused_render_apply, reference_render_apply,
+        )
+
+        p, xyz, dirs, z, noise = self._setup(n=21)  # 21 % 8 != 0
+        fmap_r, w_r, d_r = reference_render_apply(p, xyz, dirs, z, noise,
+                                                  15, 4)
+        ray_blk, w_k = fused_render_apply(
+            p, xyz, dirs, z, noise, r_tile=8, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_r),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(ray_blk[:, :16]),
+                                   np.asarray(fmap_r), atol=2e-5)
+
+    def test_weight_grads_match_twin(self):
+        from crnerf_tpu.ops.fused_render import (
+            make_fused_render_train, reference_render_apply,
+        )
+
+        p, xyz, dirs, z, noise = self._setup(n=16, s=16)
+        g_f = jax.random.normal(jax.random.PRNGKey(9), (16, 17)) * 0.1
+        g_w = jax.random.normal(jax.random.PRNGKey(10), (16, 16)) * 0.1
+
+        def loss_ref(p):
+            fmap, w, d = reference_render_apply(p, xyz, dirs, z, noise,
+                                                15, 4)
+            return (jnp.sum(fmap * g_f[:, :16]) + jnp.sum(w * g_w)
+                    + jnp.sum(d * g_f[:, 16]))
+
+        g_ref = jax.grad(loss_ref)(p)
+
+        apply_train = make_fused_render_train(15, 4, s=16, r_tile=8,
+                                              interpret=True)
+        g_blk = jnp.zeros((16, 128)).at[:, :16].set(g_f[:, :16])
+        g_blk = g_blk.at[:, 16].set(g_f[:, 16])
+
+        def loss_ker(p):
+            blk, w = apply_train(p, xyz, dirs, z, noise)
+            return jnp.sum(blk * g_blk) + jnp.sum(w * g_w)
+
+        g_ker = jax.grad(loss_ker)(p)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ker)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_no_input_grads(self):
+        from crnerf_tpu.ops.fused_render import make_fused_render_train
+
+        p, xyz, dirs, z, noise = self._setup(n=8, s=16)
+        apply_train = make_fused_render_train(15, 4, s=16, r_tile=8,
+                                              interpret=True)
+        gz = jax.grad(
+            lambda zz: jnp.sum(apply_train(p, xyz, dirs, zz, noise)[0])
+        )(z)
+        np.testing.assert_array_equal(np.asarray(gz), 0.0)
