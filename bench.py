@@ -50,7 +50,9 @@ def main():
         cfg = Config(
             appearance_wh=(224, 160),
             compute_dtype="bfloat16",
-            grids_per_step=16,  # G=32 exceeds v5e HBM (measured 2026-08-16)
+            # G=32 exceeded v5e HBM before the fused render kernel removed
+            # the per-point intermediates; CRNERF_BENCH_G to re-measure
+            grids_per_step=int(os.environ.get("CRNERF_BENCH_G", 16)),
             # fused Pallas fwd+bwd beats the XLA path 58.9k vs 51.1k
             # rays/s (2026-08-16); CRNERF_BENCH_XLA=1 to A/B
             pallas_train=not bool(os.environ.get("CRNERF_BENCH_XLA")),

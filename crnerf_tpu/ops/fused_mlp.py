@@ -134,26 +134,39 @@ def _grouped_sincos(v, n_freqs: int, exact: bool = True):
     bf16 quantization (4e-3); use only for bf16 compute streams. Requires
     the CR-NeRF logscale frequency ladder 2^0..2^(F-1).
     """
+    ss, cs = _grouped_sincos_pieces(v, n_freqs, exact)
+    if len(ss) == 1:
+        return ss[0], cs[0]
+    return jnp.concatenate(ss, -1), jnp.concatenate(cs, -1)
+
+
+def _grouped_sincos_pieces(v, n_freqs: int, exact: bool = True,
+                           out_dtype=None):
+    """Like _grouped_sincos but returns per-octave PIECE lists so callers
+    can concatenate everything in ONE pass (a stack-then-reshape here made
+    XLA write the sin/cos sweep twice — once for the stack, once for the
+    final encode concat). exact=True returns single whole-sweep pieces."""
+    cast = (lambda x: x) if out_dtype is None else (
+        lambda x: x.astype(out_dtype)
+    )
     if exact:
         freqs = 2.0 ** np.linspace(0.0, n_freqs - 1, n_freqs)
         xb = (v[:, None, :] * jnp.asarray(freqs, v.dtype)[:, None]).reshape(
             v.shape[0], -1
         )  # (N, F*D) args
-        return jnp.sin(xb), jnp.cos(xb)
+        return [cast(jnp.sin(xb))], [cast(jnp.cos(xb))]
     span = ANCHOR_SPAN
     ss, cs = [], []
     for a in range(0, n_freqs, span):
         va = v * (2.0 ** a)
         s, c = jnp.sin(va), jnp.cos(va)
-        ss.append(s)
-        cs.append(c)
+        ss.append(cast(s))
+        cs.append(cast(c))
         for _ in range(min(span, n_freqs - a) - 1):
             s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
-            ss.append(s)
-            cs.append(c)
-    n = v.shape[0]
-    return (jnp.stack(ss, axis=1).reshape(n, -1),
-            jnp.stack(cs, axis=1).reshape(n, -1))
+            ss.append(cast(s))
+            cs.append(cast(c))
+    return ss, cs
 
 
 def grouped_encode(xyz, dirs, n_emb_xyz: int, n_emb_dir: int, *,
@@ -167,8 +180,23 @@ def grouped_encode(xyz, dirs, n_emb_xyz: int, n_emb_dir: int, *,
     once per ray instead of once per sample point.
     """
     n = xyz.shape[0]
-    sx, cx = _grouped_sincos(xyz.astype(jnp.float32), n_emb_xyz, exact)
-    sd, cd = _grouped_sincos(dirs.astype(jnp.float32), n_emb_dir, exact)
+    # octave pieces are cast to out_dtype BEFORE the per-sweep stack, so
+    # the f32 recurrence + convert fuse into one write per sweep. (Do NOT
+    # concat the (N,3) pieces directly into the block: 3-lane arrays
+    # materialize as full 128-lane tiles — a 42x HBM padding blowup.)
+
+    def sweep(v, n_freqs):
+        ss, cs = _grouped_sincos_pieces(
+            v.astype(jnp.float32), n_freqs, exact, out_dtype
+        )
+        if len(ss) == 1:
+            return ss[0], cs[0]
+        m = v.shape[0]
+        return (jnp.stack(ss, axis=1).reshape(m, -1),
+                jnp.stack(cs, axis=1).reshape(m, -1))
+
+    sx, cx = sweep(xyz, n_emb_xyz)
+    sd, cd = sweep(dirs, n_emb_dir)
 
     def rep(a):
         if dir_rep == 1:
@@ -177,8 +205,8 @@ def grouped_encode(xyz, dirs, n_emb_xyz: int, n_emb_dir: int, *,
             a[:, None, :], (a.shape[0], dir_rep, a.shape[-1])
         ).reshape(n, a.shape[-1])
 
-    parts = [xyz, sx, cx, rep(dirs), rep(sd), rep(cd)]
-    parts = [p.astype(out_dtype) for p in parts]
+    parts = [xyz.astype(out_dtype), sx, cx,
+             rep(dirs.astype(out_dtype)), rep(sd), rep(cd)]
     total = sum(p.shape[-1] for p in parts)
     cols = _round_up(total, LANE)
     if cols != total:

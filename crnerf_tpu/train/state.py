@@ -25,9 +25,15 @@ class TrainState:
     params: Dict[str, Any]
     batch_stats: Dict[str, Any]
     opt_state: Any
-    embedding_cache: jax.Array      # (N_vocab, 32, 32, C)
+    # cache rows are FLAT (N_vocab, hw*hw*C): row scatter (write-back) and
+    # row gather (random-style selection) then agree on one trivial {1,0}
+    # layout — the 4-D form made XLA relayout-copy the whole 393 MB buffer
+    # twice per step between the scatter's and the donation's layouts
+    embedding_cache: jax.Array      # (N_vocab, hw*hw*C)
     embedding_valid: jax.Array      # (N_vocab,) bool
     rng: jax.Array                  # PRNG key
+    embed_hw: int = struct.field(pytree_node=False, default=32)
+    embed_c: int = struct.field(pytree_node=False, default=64)
 
     @classmethod
     def create(cls, variables, opt_state, n_vocab: int, embed_hw: int,
@@ -38,8 +44,10 @@ class TrainState:
             batch_stats=variables.get("batch_stats", {}),
             opt_state=opt_state,
             embedding_cache=jnp.zeros(
-                (n_vocab, embed_hw, embed_hw, embed_c), cache_dtype
+                (n_vocab, embed_hw * embed_hw * embed_c), cache_dtype
             ),
             embedding_valid=jnp.zeros((n_vocab,), bool),
             rng=rng,
+            embed_hw=embed_hw,
+            embed_c=embed_c,
         )

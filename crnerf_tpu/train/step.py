@@ -40,7 +40,10 @@ def _select_random_embedding(key, state: TrainState):
     g = jax.random.gumbel(key, (n,))
     scores = jnp.where(valid, g, -jnp.inf)
     idx = jnp.argmax(scores)
-    emb = state.embedding_cache[idx][None].astype(jnp.float32)
+    hw, c = state.embed_hw, state.embed_c
+    emb = state.embedding_cache[idx].reshape(1, hw, hw, c).astype(
+        jnp.float32
+    )
     return emb, has_any
 
 
@@ -163,11 +166,14 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
                     loc_emb, axis_name
                 ).reshape(-1, *loc_emb.shape[1:])              # (D*G, ...)
 
-            # one batched scatter (a fori_loop of per-entry
-            # dynamic-update-slices cost ~7 ms/step at G=16). Duplicate ts
-            # in a batch scatter identical values (same whole_img + params
-            # -> bitwise-equal embeddings), so write order is irrelevant.
-            new_cache = new_cache.at[loc_ts].set(loc_emb)
+            # one batched ROW scatter into the flat cache (a fori_loop of
+            # per-entry dynamic-update-slices cost ~7 ms/step at G=16).
+            # Duplicate ts in a batch scatter identical values (same
+            # whole_img + params -> bitwise-equal embeddings), so write
+            # order is irrelevant.
+            new_cache = new_cache.at[loc_ts].set(
+                loc_emb.reshape(loc_ts.shape[0], -1)
+            )
             new_valid = new_valid.at[loc_ts].set(True)
 
         new_bs = aux["new_bs"] if aux["new_bs"] is not None else (
