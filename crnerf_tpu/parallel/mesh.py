@@ -77,3 +77,46 @@ def put_global_batch(batch, mesh: Mesh):
 def put_replicated(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_render(system, mesh: Mesh, image_hw, tile=None) -> Callable:
+    """Full-image eval render sharded over the mesh (SURVEY.md §5.7): rays
+    split across devices, each renders its slice, per-ray features are
+    all-gathered over ICI, and the style decode (global gram statistics)
+    runs replicated — see render.system.forward_eval_sharded.
+
+    Returns fn(variables, rays (h*w, 8), whole_img, key) -> results dict
+    with full-image rgb/depth/mask (ray counts are padded to the mesh size
+    internally)."""
+    import jax.numpy as jnp
+
+    from crnerf_tpu.render.system import forward_eval_sharded
+
+    h, w = image_hw
+    n_pix = h * w
+    d = mesh.devices.size
+    n_pad = -(-n_pix // d) * d
+
+    def per_device(variables, rays, whole, key):
+        batch = {"rays": rays, "whole_img": whole}
+        return forward_eval_sharded(
+            system, variables, batch, key, (h, w), n_pix, DATA_AXIS,
+            tile=tile,
+        )
+
+    mapped = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    jfn = jax.jit(mapped)
+
+    def fn(variables, rays, whole_img, key):
+        rays = jnp.asarray(rays)
+        if rays.shape[0] != n_pad:
+            rays = jnp.pad(rays, ((0, n_pad - rays.shape[0]), (0, 0)))
+        return jfn(variables, rays, jnp.asarray(whole_img), key)
+
+    return fn

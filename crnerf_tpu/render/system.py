@@ -175,6 +175,45 @@ class CrNerfSystem:
             return mask, new_bs
         return self.m.mask_net.apply(v, whole01, train=False), None
 
+    def _render_kw(self, train: bool) -> Dict[str, Any]:
+        """render_rays keyword bundle incl. Pallas routing. Training routes
+        through the fused fwd+bwd kernels; inference defaults to XLA (the
+        measured-faster option per path — BASELINE.md). pallas_interpret
+        runs the same Pallas route through the interpreter on CPU (CI
+        coverage of the TPU code path)."""
+        cfg = self.cfg
+        fused_opts = None
+        on_tpu = jax.default_backend() == "tpu" or cfg.pallas_interpret
+        if (not train and cfg.use_pallas and on_tpu) or (
+            train and cfg.pallas_train and on_tpu
+        ):
+            bf16 = cfg.compute_dtype == "bfloat16"
+            fused_opts = {
+                "n_emb_dir": cfg.N_emb_dir,
+                "depth": cfg.netdepth,
+                "tile": 1024 if not train else 512,
+                "compute_dtype": jnp.bfloat16 if bf16 else jnp.float32,
+                "train": train,
+                "interpret": cfg.pallas_interpret,
+                # recurrence-based sin/cos only where its ~2e-4 error is
+                # below the compute stream's own quantization (bf16)
+                "exact_encode": not (cfg.fast_sincos and bf16),
+                "full": cfg.pallas_render,
+            }
+        return dict(
+            n_samples=cfg.N_samples,
+            n_importance=cfg.N_importance,
+            n_emb_xyz=cfg.N_emb_xyz,
+            n_emb_dir=cfg.N_emb_dir,
+            use_disp=cfg.use_disp,
+            perturb=cfg.perturb if train else 0.0,
+            noise_std=cfg.noise_std if train else 0.0,
+            test_time=not train,
+            pertube_cord=cfg.pertube_cord and train,
+            remat=cfg.remat,
+            fused_opts=fused_opts,
+        )
+
     # ----------------------------------------------------------- forward
     def forward(
         self,
@@ -224,41 +263,7 @@ class CrNerfSystem:
                 out_mask = resize_bilinear(mask_small, hw).reshape(-1, 1)
             results["out_mask"] = out_mask
 
-        fused_opts = None
-        on_tpu = jax.default_backend() == "tpu" or cfg.pallas_interpret
-        if (not train and cfg.use_pallas and on_tpu) or (
-            train and cfg.pallas_train and on_tpu
-        ):
-            # fused Pallas PE+MLP kernel; training additionally routes the
-            # backward through the Pallas weight-grad kernel.
-            # pallas_interpret runs the same route through the Pallas
-            # interpreter on CPU (CI coverage of the TPU code path).
-            bf16 = cfg.compute_dtype == "bfloat16"
-            fused_opts = {
-                "n_emb_dir": cfg.N_emb_dir,
-                "depth": cfg.netdepth,
-                "tile": 1024 if not train else 512,
-                "compute_dtype": jnp.bfloat16 if bf16 else jnp.float32,
-                "train": train,
-                "interpret": cfg.pallas_interpret,
-                # recurrence-based sin/cos only where its ~2e-4 error is
-                # below the compute stream's own quantization (bf16)
-                "exact_encode": not (cfg.fast_sincos and bf16),
-                "full": cfg.pallas_render,
-            }
-        render_kw = dict(
-            n_samples=cfg.N_samples,
-            n_importance=cfg.N_importance,
-            n_emb_xyz=cfg.N_emb_xyz,
-            n_emb_dir=cfg.N_emb_dir,
-            use_disp=cfg.use_disp,
-            perturb=cfg.perturb if train else 0.0,
-            noise_std=cfg.noise_std if train else 0.0,
-            test_time=not train,
-            pertube_cord=cfg.pertube_cord and train,
-            remat=cfg.remat,
-            fused_opts=fused_opts,
-        )
+        render_kw = self._render_kw(train)
         apply_fine = self._apply_fine if self.m.fine is not None else None
         ray_params = {
             "coarse": params["nerf_coarse"],
@@ -323,3 +328,72 @@ class CrNerfSystem:
             )
 
         return results, new_bs
+
+
+def forward_eval_sharded(
+    system: CrNerfSystem,
+    variables: Dict[str, Any],
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    image_hw: Tuple[int, int],
+    n_pixels: int,
+    axis_name: str,
+    tile: Optional[int] = None,
+) -> Dict[str, jax.Array]:
+    """Eval forward for FULL-IMAGE renders with rays sharded over a mesh
+    axis — the TPU-native answer to "render a frame on N chips"
+    (SURVEY.md §5.7): each device volume-renders its slice of the rays
+    (the expensive part), the per-ray features are all-gathered over ICI
+    (a few MB), and the style decode — whose MulLayer computes GLOBAL
+    gram statistics over the feature map (/root/reference/models/
+    linearStyleTransfer.py:58-90), so it cannot run on a shard — is
+    computed replicated.
+
+    Call INSIDE shard_map with batch["rays"] sharded on the leading axis
+    (possibly padded to the mesh size; ``n_pixels`` = h*w slices the
+    gathered features back). Returns replicated rgb/depth/mask results.
+    """
+    cfg = system.cfg
+    params = variables["params"]
+    results: Dict[str, Any] = {}
+    hw = image_hw
+
+    a_embedded = None
+    if cfg.encode_a:
+        whole01 = (batch["whole_img"] + 1.0) / 2.0
+        a_embedded = system.encode_appearance(params, whole01)
+
+    if cfg.use_mask:
+        whole01_m = (batch["whole_img"] + 1.0) / 2.0
+        mask_small, _ = system.predict_mask(variables, whole01_m, False)
+        results["out_mask"] = resize_bilinear(mask_small, hw).reshape(-1, 1)
+
+    apply_fine = system._apply_fine if system.m.fine is not None else None
+    ray_params = {
+        "coarse": params["nerf_coarse"],
+        "fine": params.get("nerf_fine"),
+    }
+    kw = system._render_kw(train=False)
+    local = render_rays_tiled if tile is not None else render_rays
+    rr = local(
+        system._apply_coarse, apply_fine, ray_params, batch["rays"], key,
+        **(dict(tile=tile, **kw) if tile is not None else kw),
+    )
+
+    def gather(x):
+        return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)[
+            :n_pixels
+        ]
+
+    fmap_c = gather(rr["feature_coarse"])
+    results["depth_coarse"] = gather(rr["depth_coarse"])
+    results["rgb_coarse"] = system.decode(
+        params, fmap_c, hw, a_embedded
+    ).reshape(-1, 3)
+    if cfg.N_importance > 0:
+        fmap_f = gather(rr["feature_fine"])
+        results["depth_fine"] = gather(rr["depth_fine"])
+        results["rgb_fine"] = system.decode(
+            params, fmap_f, hw, a_embedded
+        ).reshape(-1, 3)
+    return results

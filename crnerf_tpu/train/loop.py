@@ -197,25 +197,40 @@ class Trainer:
     # ---------------------------------------------------------- rendering
     def _render_fn(self, hw: Tuple[int, int]):
         """Per-resolution compiled full-image renderer (SURVEY.md §7 hard
-        part 1: per-shape compile cache)."""
+        part 1: per-shape compile cache). With >1 device the rays are
+        sharded over the mesh and features all-gathered before the decode
+        (parallel.mesh.shard_render)."""
         if hw in self._render_cache:
             return self._render_cache[hw]
         tile = min(self.cfg.val_chunk, hw[0] * hw[1])
 
-        def render(state: TrainState, rays, whole_img, key):
-            variables = {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-            }
-            batch = {"rays": rays, "whole_img": whole_img}
-            results, _ = self.system.forward(
-                variables, batch, key, train=False, tile=tile, image_hw=hw
-            )
-            return results
+        if self.n_devices > 1:
+            from crnerf_tpu.parallel.mesh import shard_render
 
-        fn = jax.jit(render)
-        self._render_cache[hw] = fn
-        return fn
+            sfn = shard_render(self.system, self.mesh, hw, tile=tile)
+
+            def render(state: TrainState, rays, whole_img, key):
+                variables = {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                }
+                return sfn(variables, rays, whole_img, key)
+        else:
+            def render_local(state: TrainState, rays, whole_img, key):
+                variables = {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                }
+                batch = {"rays": rays, "whole_img": whole_img}
+                results, _ = self.system.forward(
+                    variables, batch, key, train=False, tile=tile,
+                    image_hw=hw,
+                )
+                return results
+
+            render = jax.jit(render_local)
+        self._render_cache[hw] = render
+        return render
 
     def render_image(self, image, appearance_img=None, state=None):
         """Full render of one SceneImage -> dict with rgb (h,w,3), depth,
