@@ -171,15 +171,35 @@ def _grouped_sincos_pieces(v, n_freqs: int, exact: bool = True,
 
 def grouped_encode(xyz, dirs, n_emb_xyz: int, n_emb_dir: int, *,
                    dir_rep: int = 1, out_dtype=jnp.float32,
-                   exact: bool = True):
+                   exact: bool = True, include_dirs: bool = True):
     """-> (N, enc_cols) lane-packed grouped encode in ``out_dtype``. One
     concat builds the padded block directly (single fused materialization).
 
     ``dir_rep`` R > 1: ``dirs`` is (N/R, 3) PER-RAY directions, each
     logically repeated R times (rays-major) — the dir sin/cos sweep runs
     once per ray instead of once per sample point.
+
+    ``include_dirs=False``: xyz-only block (93 lanes -> same 128-lane
+    pad); the dir encode then travels separately per ray
+    (``dir_block_encode``, split-dir kernels).
     """
     n = xyz.shape[0]
+    if not include_dirs:
+        sxs, cxs = _grouped_sincos_pieces(
+            xyz.astype(jnp.float32), n_emb_xyz, exact, out_dtype
+        )
+        sx = sxs[0] if len(sxs) == 1 else (
+            jnp.stack(sxs, axis=1).reshape(n, -1)
+        )
+        cx = cxs[0] if len(cxs) == 1 else (
+            jnp.stack(cxs, axis=1).reshape(n, -1)
+        )
+        parts = [xyz.astype(out_dtype), sx, cx]
+        total = sum(p.shape[-1] for p in parts)
+        cols = _round_up(total, LANE)
+        if cols != total:
+            parts.append(jnp.zeros((n, cols - total), out_dtype))
+        return jnp.concatenate(parts, axis=-1)
     # octave pieces are cast to out_dtype BEFORE the per-sweep stack, so
     # the f32 recurrence + convert fuse into one write per sweep. (Do NOT
     # concat the (N,3) pieces directly into the block: 3-lane arrays
@@ -298,11 +318,59 @@ def _pad2(w, rows, cols):
     return jnp.pad(w, ((0, rows - w.shape[0]), (0, cols - w.shape[1])))
 
 
+def dir_block_encode(dirs, n_emb_dir: int, out_dtype=jnp.float32,
+                     exact: bool = True):
+    """Per-RAY dir encode as its own (N_rays, LANE) lane block:
+    [d(3) | sin_d(3F) | cos_d(3F) | zeros]. Consumed by the split-dir
+    fused render kernel, which spreads the per-ray dir contribution to
+    sample points in-VMEM instead of materializing repeated dir lanes in
+    the big per-point encode stream."""
+    sds, cds = _grouped_sincos_pieces(
+        dirs.astype(jnp.float32), n_emb_dir, exact, out_dtype
+    )
+    n = dirs.shape[0]
+    sd = sds[0] if len(sds) == 1 else jnp.stack(sds, 1).reshape(n, -1)
+    cd = cds[0] if len(cds) == 1 else jnp.stack(cds, 1).reshape(n, -1)
+    parts = [dirs.astype(out_dtype), sd, cd]
+    total = sum(p.shape[-1] for p in parts)
+    parts.append(jnp.zeros((n, LANE - total), out_dtype))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _dir_block_weight(w_int, n_emb_dir: int, out_cols: int):
+    """Interleaved (3+6F, out) dir-branch weight rows -> a (LANE, out)
+    matrix aligned to the dir_block_encode lane layout."""
+    perm = _interleaved_to_group_perm(n_emb_dir)
+    src = w_int[np.asarray(perm)]
+    mat = jnp.zeros((LANE, out_cols), w_int.dtype)
+    mat = mat.at[: src.shape[0], : src.shape[1]].set(src)
+    return mat
+
+
+def _dir_block_grad_extract(g, n_emb_dir: int, out_cols: int):
+    """Inverse of _dir_block_weight for gradients: (LANE, out_pad) ->
+    interleaved (3+6F, out_cols)."""
+    rows = 3 + 6 * n_emb_dir
+    grouped = g[:rows, :out_cols]
+    out = jnp.zeros_like(grouped)
+    out = out.at[
+        np.asarray(_interleaved_to_group_perm(n_emb_dir))
+    ].set(grouped)
+    return out
+
+
 # ----------------------------------------------------- weight preparation
 def _prep_wargs(params: MlpParams, n_emb_xyz: int, n_emb_dir: int,
-                skips: Tuple[int, ...], compute_dtype):
+                skips: Tuple[int, ...], compute_dtype,
+                split_dir: bool = False):
     """Kernel weight operands, in consumption order. Layers touching the
-    encode get ONE (enc_cols, out) lane-aligned matrix."""
+    encode get ONE (enc_cols, out) lane-aligned matrix.
+
+    split_dir=True: the dir-branch encode weight is laid out for the
+    per-RAY dir block (dir_block_encode) instead of the per-point encode
+    stream. (The xyz lane offsets are identical either way — dirs sit
+    after xyz in the joint block, so trunk/skip matrices are unchanged.)
+    """
     d_xyz = 3 * (1 + 2 * n_emb_xyz)
     width = params.final_w.shape[0]
     w_pad = _round_up(width, LANE)
@@ -331,10 +399,15 @@ def _prep_wargs(params: MlpParams, n_emb_xyz: int, n_emb_dir: int,
     wargs.append(_pad2(params.final_w, w_pad, w_pad))
     wargs.append(_pad2(params.final_b.reshape(1, -1), 1, w_pad))
     wargs.append(_pad2(params.dir_w[:width], w_pad, half_pad))
-    wargs.append(
-        _enc_weight(params.dir_w[width:], "dir", n_emb_xyz, n_emb_dir,
-                    half_pad)
-    )
+    if split_dir:
+        wargs.append(
+            _dir_block_weight(params.dir_w[width:], n_emb_dir, half_pad)
+        )
+    else:
+        wargs.append(
+            _enc_weight(params.dir_w[width:], "dir", n_emb_xyz, n_emb_dir,
+                        half_pad)
+        )
     wargs.append(_pad2(params.dir_b.reshape(1, -1), 1, half_pad))
     wargs.append(_pad2(params.feat_w, half_pad, c_pad))
     wargs.append(_pad2(params.feat_b.reshape(1, -1), 1, c_pad))
@@ -634,8 +707,10 @@ def fused_mlp_apply(
 
 
 def _ungroup_grads(dwargs, params: MlpParams, n_emb_xyz: int,
-                   n_emb_dir: int, skips: Tuple[int, ...]) -> MlpParams:
-    """Lane-aligned/padded weight grads -> MlpParams-shaped cotangent."""
+                   n_emb_dir: int, skips: Tuple[int, ...],
+                   split_dir: bool = False) -> MlpParams:
+    """Lane-aligned/padded weight grads -> MlpParams-shaped cotangent.
+    split_dir must mirror the _prep_wargs flag (dir weight layout)."""
     width = params.final_w.shape[0]
     half = params.dir_w.shape[1]
     c_out = params.feat_w.shape[1]
@@ -667,7 +742,9 @@ def _ungroup_grads(dwargs, params: MlpParams, n_emb_xyz: int,
         final_b=gfb[0, :width],
         dir_w=jnp.concatenate(
             [gdh[:width, :half],
-             _enc_grad_extract(gde, "dir", n_emb_xyz, n_emb_dir, half)],
+             _dir_block_grad_extract(gde, n_emb_dir, half) if split_dir
+             else _enc_grad_extract(gde, "dir", n_emb_xyz, n_emb_dir,
+                                    half)],
             axis=0,
         ),
         dir_b=gdb[0, :half],

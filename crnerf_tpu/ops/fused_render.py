@@ -56,6 +56,7 @@ from crnerf_tpu.ops.fused_mlp import (
     _prep_wargs,
     _round_up,
     _ungroup_grads,
+    dir_block_encode,
     grouped_encode,
     reference_mlp_apply,
 )
@@ -171,10 +172,14 @@ def _composite_fwd_math(sigma_col, z, noise, a, b, s: int):
 
 
 # ---------------------------------------------------------- MLP snippets
-def _mlp_fwd(enc, nxt, n_layers, skips, dt, keep_acts: bool):
+def _mlp_fwd(enc, nxt, n_layers, skips, dt, keep_acts: bool,
+             dir_term=None):
     """In-kernel MLP forward from the encode block. ``nxt()`` yields the
-    weight refs in _prep_wargs order. Returns (acts, z_sig, hf, zd, dd,
-    z_feat, feat) — acts/pre-activations only populated when keep_acts."""
+    weight refs in _prep_wargs order. ``dir_term(wd_e_ref)`` computes the
+    dir-branch encode contribution (T, half) — defaults to mm(enc, wd_e)
+    (joint encode block); the split-dir kernels spread a per-ray dir
+    block instead. Returns (layers, acts, z_sig, hf, dd, feat) —
+    acts/prev-activations only populated when keep_acts."""
     f32 = jnp.float32
 
     def mm(a, w):
@@ -206,7 +211,9 @@ def _mlp_fwd(enc, nxt, n_layers, skips, dt, keep_acts: bool):
     fw, fb = nxt(), nxt()
     hf = (mm(h, fw[:]) + fb[:]).astype(dt)
     wd_h, wd_e, bd = nxt(), nxt(), nxt()
-    zd = mm(hf, wd_h[:]) + mm(enc, wd_e[:]) + bd[:]
+    d_contrib = (mm(enc, wd_e[:]) if dir_term is None
+                 else dir_term(wd_e))
+    zd = mm(hf, wd_h[:]) + d_contrib + bd[:]
     dd = jnp.maximum(zd, 0.0).astype(dt)
     fw2, fb2 = nxt(), nxt()
     z_feat = mm(dd, fw2[:]) + fb2[:]
@@ -217,7 +224,7 @@ def _mlp_fwd(enc, nxt, n_layers, skips, dt, keep_acts: bool):
 # ---------------------------------------------------------------- kernels
 def _make_render_fwd_kernel(n_layers, skips, c_out, compute_dtype,
                             r_tile, s):
-    def kernel(enc_ref, z_ref, noise_ref, *refs):
+    def kernel(enc_ref, z_ref, noise_ref, dir_ref, *refs):
         out_ray_ref, w_ref = refs[-2], refs[-1]
         w_refs = refs[:-2]
         widx = 0
@@ -228,13 +235,26 @@ def _make_render_fwd_kernel(n_layers, skips, c_out, compute_dtype,
             widx += 1
             return r
 
+        a, b = _ray_masks(r_tile, s, jnp.float32)
+        dt = compute_dtype
+
+        def dir_term(wd_e_ref):
+            # per-ray dir contribution, spread to the tile's points
+            contrib = jnp.dot(
+                dir_ref[:, :].astype(dt), wd_e_ref[:].astype(dt),
+                preferred_element_type=jnp.float32,
+            )  # (R, half)
+            return jax.lax.dot_general(
+                a, contrib, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (T, half)
+
         enc = enc_ref[:, :]
         _, _, z_sig, _, _, feat = _mlp_fwd(
-            enc, nxt, n_layers, skips, compute_dtype, keep_acts=False
+            enc, nxt, n_layers, skips, compute_dtype, keep_acts=False,
+            dir_term=dir_term,
         )
         sigma = jax.nn.softplus(z_sig[:, :1])            # (T, 1)
-
-        a, b = _ray_masks(r_tile, s, jnp.float32)
         z = z_ref[:, :]
         noise = noise_ref[:, :]
         _, _, _, _, _, weights, w_big = _composite_fwd_math(
@@ -258,7 +278,8 @@ def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
     """Recompute MLP+composite, backprop through both, accumulate weight
     grads in constant-index output blocks."""
 
-    def kernel(enc_ref, z_ref, noise_ref, g_ray_ref, g_w_ref, *refs):
+    def kernel(enc_ref, z_ref, noise_ref, dir_ref, g_ray_ref, g_w_ref,
+               *refs):
         w_refs = refs[:n_w]
         d_refs = refs[n_w:]
         step = pl.program_id(0)
@@ -301,15 +322,28 @@ def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
             pairs.append(p)
             return p[0]
 
+        a, b = _ray_masks(r_tile, s, f32)
+        dir_local = dir_ref[:, :]
+
+        def dir_term(wd_e_ref):
+            contrib = jnp.dot(
+                dir_local.astype(dt), wd_e_ref[:].astype(dt),
+                preferred_element_type=f32,
+            )
+            return jax.lax.dot_general(
+                a, contrib, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
         enc = enc_ref[:, :]
         layers, acts, z_sig, hf, dd, feat = _mlp_fwd(
-            enc, nxt_ref, n_layers, skips, dt, keep_acts=True
+            enc, nxt_ref, n_layers, skips, dt, keep_acts=True,
+            dir_term=dir_term,
         )
         # pairs are appended in _prep_wargs order; recover by position:
         # trunk pairs first, then sigma(2), final(2), dir(3), feat(2)
         sigma = jax.nn.softplus(z_sig[:, :1])
 
-        a, b = _ray_masks(r_tile, s, f32)
         z = z_ref[:, :]
         noise = noise_ref[:, :]
         (sigma_rs, deltas, act, alphas, trans, weights,
@@ -371,7 +405,10 @@ def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
         ddd = jnp.where(dd.astype(f32) > 0, ddd, 0.0)
 
         wd_h[1][:, :] += mm_t(hf, ddd)
-        wd_e[1][:, :] += mm_t(enc, ddd)
+        # dir weight grad: sum ddd over each ray's rows, then contract
+        # with the per-ray dir block
+        ddd_ray = jnp.dot(a, ddd, preferred_element_type=f32)  # (R, half)
+        wd_e[1][:, :] += mm_t(dir_local, ddd_ray)
         bd[1][:, :] += jnp.sum(ddd, axis=0, keepdims=True)
         dhf = mm_bt(ddd, wd_h[0][:])
 
@@ -457,15 +494,21 @@ def fused_render_apply(
     c_pad = _round_up(c_out + 1, LANE)
     s_pad = s  # S must be lane-friendly; CR-NeRF uses 64/128
 
+    # xyz-only per-point stream + tiny per-ray dir block (split-dir)
     enc = grouped_encode(
-        xyz.reshape(-1, 3), dirs, n_emb_xyz, n_emb_dir, dir_rep=s,
-        out_dtype=compute_dtype, exact=exact_encode,
+        xyz.reshape(-1, 3), None, n_emb_xyz, n_emb_dir,
+        out_dtype=compute_dtype, exact=exact_encode, include_dirs=False,
     )
     enc = jnp.pad(enc, ((0, (n_pad - n) * s), (0, 0)))
+    dir_blk = _pad_rays(
+        dir_block_encode(dirs, n_emb_dir, compute_dtype, exact_encode),
+        n_pad, n,
+    )
     z_p = _pad_rays(z_vals.astype(jnp.float32), n_pad, n)
     no_p = _pad_rays(noise.astype(jnp.float32), n_pad, n)
 
-    wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips, compute_dtype)
+    wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips, compute_dtype,
+                        split_dir=True)
     kernel = _make_render_fwd_kernel(
         len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s
     )
@@ -482,6 +525,8 @@ def fused_render_apply(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r_tile, s_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ] + [const(w.shape) for w in wargs],
         out_specs=[
             pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
@@ -494,7 +539,7 @@ def fused_render_apply(
             jax.ShapeDtypeStruct((n_pad, s_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(enc, z_p, no_p, *wargs)
+    )(enc, z_p, no_p, dir_blk, *wargs)
     return out_ray[:n], weights[:n]
 
 
@@ -527,24 +572,30 @@ def make_fused_render_train(
         n = xyz.shape[0]
         n_pad = _round_up(max(n, r_tile), r_tile)
         enc = grouped_encode(
-            xyz.reshape(-1, 3), dirs, n_emb_xyz, n_emb_dir, dir_rep=s,
+            xyz.reshape(-1, 3), None, n_emb_xyz, n_emb_dir,
             out_dtype=compute_dtype, exact=exact_encode,
+            include_dirs=False,
         )
         enc = jnp.pad(enc, ((0, (n_pad - n) * s), (0, 0)))
+        dir_blk = _pad_rays(
+            dir_block_encode(dirs, n_emb_dir, compute_dtype,
+                             exact_encode),
+            n_pad, n,
+        )
         z_p = _pad_rays(z_vals.astype(jnp.float32), n_pad, n)
         no_p = _pad_rays(noise.astype(jnp.float32), n_pad, n)
-        out = _call_fwd(params, enc, z_p, no_p, n)
-        return out, (params, enc, z_p, no_p,
+        out = _call_fwd(params, enc, z_p, no_p, dir_blk, n)
+        return out, (params, enc, z_p, no_p, dir_blk,
                      jnp.zeros((n, 0), xyz.dtype),
                      jnp.zeros((dirs.shape[0], 0), dirs.dtype))
 
-    def _call_fwd(params, enc, z_p, no_p, n):
+    def _call_fwd(params, enc, z_p, no_p, dir_blk, n):
         c_out = params.feat_w.shape[1]
         c_pad = _round_up(c_out + 1, LANE)
         n_pad = z_p.shape[0]
         t = r_tile * s
         wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips,
-                            compute_dtype)
+                            compute_dtype, split_dir=True)
         kernel = _make_render_fwd_kernel(
             len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s
         )
@@ -561,6 +612,8 @@ def make_fused_render_train(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_tile, s), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
             ] + [const(w.shape) for w in wargs],
             out_specs=[
                 pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
@@ -573,11 +626,11 @@ def make_fused_render_train(
                 jax.ShapeDtypeStruct((n_pad, s), jnp.float32),
             ],
             interpret=interpret,
-        )(enc, z_p, no_p, *wargs)
+        )(enc, z_p, no_p, dir_blk, *wargs)
         return out_ray[:n], weights[:n]
 
     def bwd(res, g):
-        params, enc, z_p, no_p, x_proxy, d_proxy = res
+        params, enc, z_p, no_p, dir_blk, x_proxy, d_proxy = res
         g_ray, g_w = g
         n = x_proxy.shape[0]
         n_pad = z_p.shape[0]
@@ -588,7 +641,7 @@ def make_fused_render_train(
         g_w_p = _pad_rays(g_w.astype(jnp.float32), n_pad, n)
 
         wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips,
-                            compute_dtype)
+                            compute_dtype, split_dir=True)
         n_w = len(wargs)
         kernel = _make_render_bwd_kernel(
             len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s,
@@ -607,6 +660,8 @@ def make_fused_render_train(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_tile, s), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_tile, s), lambda i: (i, 0),
@@ -617,9 +672,9 @@ def make_fused_render_train(
                 jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wargs
             ],
             interpret=interpret,
-        )(enc, z_p, no_p, g_ray_p, g_w_p, *wargs)
+        )(enc, z_p, no_p, dir_blk, g_ray_p, g_w_p, *wargs)
         dparams = _ungroup_grads(dwargs, params, n_emb_xyz, n_emb_dir,
-                                 skips)
+                                 skips, split_dir=True)
         return (dparams,
                 jnp.zeros((n, s, 3), x_proxy.dtype),
                 jnp.zeros((d_proxy.shape[0], 3), d_proxy.dtype),
