@@ -171,15 +171,73 @@ def _composite_fwd_math(sigma_col, z, noise, a, b, s: int):
     return sigma_rs, deltas, act, alphas, trans, weights, w_big
 
 
+def _build_enc_t(od, z, a, b, n_emb_xyz: int, scratch):
+    """In-kernel TRANSPOSED encode: od (R,8) = [o|d|pad] per-ray rows and
+    z (R,S) -> fills ``scratch`` (enc_rows, T) with
+    [x rows (3) | sin rows (3F) | cos rows (3F) | junk] and returns it.
+
+    xyz is built by spreading o/d to points with the ray mask (one MXU
+    contraction each) and broadcasting the z row; the 2^k*x argument grid
+    is ONE (3F, 8)@(8, T) matmul against a power-of-2 scale/select matrix
+    (exact: single product per output, power-of-2 multiplier), then one
+    sin and one cos sweep over the whole block — measured hidden under
+    the grid's DMA pipeline (scripts/spike_sublane_stores.py). The junk
+    tail rows meet zero weight rows, contributing exactly 0.
+    """
+    f32 = jnp.float32
+    o = od[:, 0:3]
+    d = od[:, 3:6]
+    spread = lambda m: jax.lax.dot_general(  # noqa: E731
+        m, a, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (3, T)
+    o_sp, d_sp = spread(o), spread(d)
+    z_sp = jax.lax.dot_general(
+        z, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (R, T)
+    z_row = jnp.sum(z_sp * a, axis=0, keepdims=True)   # (1, T)
+    xyz_t = o_sp + d_sp * z_row                         # (3, T)
+
+    f = n_emb_xyz
+    rows3f = _round_up(3 * f, 8)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows3f, 8), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows3f, 8), 1)
+    # EXACT powers of two via the exponent bit field — jnp.exp2 computes
+    # exp(x ln 2) and lands ulps off, which the 2^14-octave sin amplifies
+    # to ~2e-2 encode error (and ~10% trunk-grad error)
+    pow2 = jax.lax.bitcast_convert_type((ri // 3 + 127) << 23, f32)
+    dmat = jnp.where((ci == ri % 3) & (ri < 3 * f), pow2, 0.0)
+    xyz_t8 = jnp.concatenate(
+        [xyz_t, jnp.zeros((5, xyz_t.shape[1]), f32)], axis=0
+    )
+    args = jax.lax.dot_general(
+        dmat, xyz_t8, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (rows3f, T)
+    scratch[0:3, :] = xyz_t
+    # sin block first, cos second: the cos store overwrites the sin
+    # store's pad rows (3+3F .. 3+rows3f) with its own valid head rows
+    scratch[3:3 + rows3f, :] = jnp.sin(args)
+    scratch[3 + 3 * f:3 + 3 * f + rows3f, :] = jnp.cos(args)
+    return scratch[:, :]
+
+
+def enc_t_rows(n_emb_xyz: int) -> int:
+    """Scratch row count for _build_enc_t (covers the cos-store tail)."""
+    return 3 + 3 * n_emb_xyz + _round_up(3 * n_emb_xyz, 8)
+
+
 # ---------------------------------------------------------- MLP snippets
-def _mlp_fwd(enc, nxt, n_layers, skips, dt, keep_acts: bool,
+def _mlp_fwd(enc_mm, nxt, n_layers, skips, dt, keep_acts: bool,
              dir_term=None):
-    """In-kernel MLP forward from the encode block. ``nxt()`` yields the
-    weight refs in _prep_wargs order. ``dir_term(wd_e_ref)`` computes the
-    dir-branch encode contribution (T, half) — defaults to mm(enc, wd_e)
-    (joint encode block); the split-dir kernels spread a per-ray dir
-    block instead. Returns (layers, acts, z_sig, hf, dd, feat) —
-    acts/prev-activations only populated when keep_acts."""
+    """In-kernel MLP forward. ``enc_mm(w_ref)`` computes the encode
+    contribution (T, out) for an encode-consuming weight ref (the stream
+    kernels matmul a per-point encode block; the rays-in kernels contract
+    the transposed in-kernel encode). ``nxt()`` yields the weight refs in
+    _prep_wargs order. ``dir_term(wd_e_ref)`` computes the dir-branch
+    contribution (T, half). Returns (layers, acts, z_sig, hf, dd, feat) —
+    prev-activations only kept when keep_acts."""
     f32 = jnp.float32
 
     def mm(a, w):
@@ -189,14 +247,14 @@ def _mlp_fwd(enc, nxt, n_layers, skips, dt, keep_acts: bool,
     layers = []
     acts = []
     w0, b0 = nxt(), nxt()
-    h = mm(enc, w0[:]) + b0[:]
+    h = enc_mm(w0) + b0[:]
     h = jnp.maximum(h, 0.0).astype(dt)
     layers.append(("enc", (w0, b0), None))
     acts.append(h)
     for i in range(1, n_layers):
         if i in skips:
             we, wh, bb = nxt(), nxt(), nxt()
-            h_new = mm(enc, we[:]) + mm(h, wh[:]) + bb[:]
+            h_new = enc_mm(we) + mm(h, wh[:]) + bb[:]
             layers.append(("skip", (we, wh, bb), h if keep_acts else None))
         else:
             ww, bb = nxt(), nxt()
@@ -211,9 +269,7 @@ def _mlp_fwd(enc, nxt, n_layers, skips, dt, keep_acts: bool,
     fw, fb = nxt(), nxt()
     hf = (mm(h, fw[:]) + fb[:]).astype(dt)
     wd_h, wd_e, bd = nxt(), nxt(), nxt()
-    d_contrib = (mm(enc, wd_e[:]) if dir_term is None
-                 else dir_term(wd_e))
-    zd = mm(hf, wd_h[:]) + d_contrib + bd[:]
+    zd = mm(hf, wd_h[:]) + dir_term(wd_e) + bd[:]
     dd = jnp.maximum(zd, 0.0).astype(dt)
     fw2, fb2 = nxt(), nxt()
     z_feat = mm(dd, fw2[:]) + fb2[:]
@@ -223,10 +279,11 @@ def _mlp_fwd(enc, nxt, n_layers, skips, dt, keep_acts: bool,
 
 # ---------------------------------------------------------------- kernels
 def _make_render_fwd_kernel(n_layers, skips, c_out, compute_dtype,
-                            r_tile, s):
-    def kernel(enc_ref, z_ref, noise_ref, dir_ref, *refs):
-        out_ray_ref, w_ref = refs[-2], refs[-1]
-        w_refs = refs[:-2]
+                            r_tile, s, n_emb_xyz, rays_in):
+    def kernel(in0_ref, z_ref, noise_ref, dir_ref, *refs):
+        out_ray_ref, w_ref = refs[-3], refs[-2]
+        scratch = refs[-1]
+        w_refs = refs[:-3]
         widx = 0
 
         def nxt():
@@ -237,6 +294,7 @@ def _make_render_fwd_kernel(n_layers, skips, c_out, compute_dtype,
 
         a, b = _ray_masks(r_tile, s, jnp.float32)
         dt = compute_dtype
+        z = z_ref[:, :]
 
         def dir_term(wd_e_ref):
             # per-ray dir contribution, spread to the tile's points
@@ -249,13 +307,29 @@ def _make_render_fwd_kernel(n_layers, skips, c_out, compute_dtype,
                 preferred_element_type=jnp.float32,
             )  # (T, half)
 
-        enc = enc_ref[:, :]
+        if rays_in:
+            enc_t = _build_enc_t(in0_ref[:, :], z, a, b, n_emb_xyz,
+                                 scratch)
+            rows = enc_t.shape[0]
+
+            def enc_mm(w_ref_):
+                return jax.lax.dot_general(
+                    enc_t.astype(dt), w_ref_[0:rows, :].astype(dt),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            enc = in0_ref[:, :]
+
+            def enc_mm(w_ref_):
+                return jnp.dot(enc.astype(dt), w_ref_[:].astype(dt),
+                               preferred_element_type=jnp.float32)
+
         _, _, z_sig, _, _, feat = _mlp_fwd(
-            enc, nxt, n_layers, skips, compute_dtype, keep_acts=False,
+            enc_mm, nxt, n_layers, skips, compute_dtype, keep_acts=False,
             dir_term=dir_term,
         )
         sigma = jax.nn.softplus(z_sig[:, :1])            # (T, 1)
-        z = z_ref[:, :]
         noise = noise_ref[:, :]
         _, _, _, _, _, weights, w_big = _composite_fwd_math(
             sigma, z, noise, a, b, s
@@ -274,14 +348,15 @@ def _make_render_fwd_kernel(n_layers, skips, c_out, compute_dtype,
 
 
 def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
-                            r_tile, s, n_w):
+                            r_tile, s, n_w, n_emb_xyz, rays_in):
     """Recompute MLP+composite, backprop through both, accumulate weight
     grads in constant-index output blocks."""
 
-    def kernel(enc_ref, z_ref, noise_ref, dir_ref, g_ray_ref, g_w_ref,
+    def kernel(in0_ref, z_ref, noise_ref, dir_ref, g_ray_ref, g_w_ref,
                *refs):
         w_refs = refs[:n_w]
-        d_refs = refs[n_w:]
+        d_refs = refs[n_w:-1]
+        scratch = refs[-1]
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -324,6 +399,7 @@ def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
 
         a, b = _ray_masks(r_tile, s, f32)
         dir_local = dir_ref[:, :]
+        z = z_ref[:, :]
 
         def dir_term(wd_e_ref):
             contrib = jnp.dot(
@@ -335,16 +411,42 @@ def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
                 preferred_element_type=f32,
             )
 
-        enc = enc_ref[:, :]
+        if rays_in:
+            enc_t = _build_enc_t(in0_ref[:, :], z, a, b, n_emb_xyz,
+                                 scratch)
+            rows = enc_t.shape[0]
+
+            def enc_mm(w_ref_):
+                return jax.lax.dot_general(
+                    enc_t.astype(dt), w_ref_[0:rows, :].astype(dt),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+
+            def enc_grad(pair, dz):
+                pair[1][0:rows, :] += jax.lax.dot_general(
+                    enc_t.astype(dt), dz.astype(dt),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+        else:
+            enc = in0_ref[:, :]
+
+            def enc_mm(w_ref_):
+                return jnp.dot(enc.astype(dt), w_ref_[:].astype(dt),
+                               preferred_element_type=f32)
+
+            def enc_grad(pair, dz):
+                pair[1][:, :] += mm_t(enc, dz)
+
         layers, acts, z_sig, hf, dd, feat = _mlp_fwd(
-            enc, nxt_ref, n_layers, skips, dt, keep_acts=True,
+            enc_mm, nxt_ref, n_layers, skips, dt, keep_acts=True,
             dir_term=dir_term,
         )
         # pairs are appended in _prep_wargs order; recover by position:
         # trunk pairs first, then sigma(2), final(2), dir(3), feat(2)
         sigma = jax.nn.softplus(z_sig[:, :1])
 
-        z = z_ref[:, :]
         noise = noise_ref[:, :]
         (sigma_rs, deltas, act, alphas, trans, weights,
          w_big) = _composite_fwd_math(sigma, z, noise, a, b, s)
@@ -434,7 +536,7 @@ def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
             kind, _, prev = layers[i]
             if kind == "enc":
                 w0p, b0p = trunk_pairs[0], trunk_pairs[1]
-                w0p[1][:, :] += mm_t(enc, dz)
+                enc_grad(w0p, dz)
                 b0p[1][:, :] += jnp.sum(dz, axis=0, keepdims=True)
                 dh = None
             elif kind == "skip":
@@ -443,7 +545,7 @@ def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
                 ) + 2 * sum(1 for j in range(1, i) if j not in skips)
                 wep, whp, bbp = (trunk_pairs[base], trunk_pairs[base + 1],
                                  trunk_pairs[base + 2])
-                wep[1][:, :] += mm_t(enc, dz)
+                enc_grad(wep, dz)
                 whp[1][:, :] += mm_t(prev, dz)
                 bbp[1][:, :] += jnp.sum(dz, axis=0, keepdims=True)
                 dh = mm_bt(dz, whp[0][:])
@@ -464,14 +566,53 @@ def _pad_rays(x, n_pad, n):
     return jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
 
 
+def _stage_inputs(params, pos, dirs, z_vals, noise, n, s, n_pad,
+                  n_emb_xyz, n_emb_dir, compute_dtype, exact_encode,
+                  rays_in, skips):
+    """Common staging: first kernel operand (od rows or encode stream),
+    padded z/noise/dir block, weight operands."""
+    if rays_in:
+        in0 = _pad_rays(
+            jnp.concatenate(
+                [pos.astype(jnp.float32), dirs.astype(jnp.float32),
+                 jnp.zeros((n, 2), jnp.float32)], -1,
+            ),
+            n_pad, n,
+        )  # (n_pad, 8) = [o | d | pad]
+    else:
+        in0 = grouped_encode(
+            pos.reshape(-1, 3), None, n_emb_xyz, n_emb_dir,
+            out_dtype=compute_dtype, exact=exact_encode,
+            include_dirs=False,
+        )
+        in0 = jnp.pad(in0, ((0, (n_pad - n) * s), (0, 0)))
+    dir_blk = _pad_rays(
+        dir_block_encode(dirs, n_emb_dir, compute_dtype, exact_encode),
+        n_pad, n,
+    )
+    z_p = _pad_rays(z_vals.astype(jnp.float32), n_pad, n)
+    no_p = _pad_rays(noise.astype(jnp.float32), n_pad, n)
+    wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips,
+                        compute_dtype, split_dir=True)
+    return in0, z_p, no_p, dir_blk, wargs
+
+
+def _in0_spec(rays_in, t, enc_cols, r_tile):
+    if rays_in:
+        return pl.BlockSpec((r_tile, 8), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((t, enc_cols), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_emb_xyz", "n_emb_dir", "r_tile", "compute_dtype",
-                     "interpret", "skips", "exact_encode"),
+                     "interpret", "skips", "exact_encode", "rays_in"),
 )
 def fused_render_apply(
     params: MlpParams,
-    xyz: jax.Array,        # (N, S, 3)
+    pos: jax.Array,        # xyz (N, S, 3), or ray ORIGINS (N, 3) if rays_in
     dirs: jax.Array,       # (N, 3) per-ray
     z_vals: jax.Array,     # (N, S)
     noise: jax.Array,      # (N, S) sigma noise (zeros at eval)
@@ -482,35 +623,29 @@ def fused_render_apply(
     interpret: bool = False,
     skips: Tuple[int, ...] = (4,),
     exact_encode: bool = True,
+    rays_in: bool = False,
 ):
     """-> (ray_block (N, 128) f32 [fmap(:C) | depth(col C)], weights
-    (N, S) f32). Matches ``reference_render_apply`` to fp32 tolerance."""
-    n, s, _ = xyz.shape
+    (N, S) f32). Matches ``reference_render_apply`` to fp32 tolerance.
+
+    rays_in=True: ``pos`` is per-ray ORIGINS; xyz AND the positional
+    encode are computed inside the kernel (no per-point streams at all —
+    inputs are o/d/z/noise/dir-block per ray)."""
+    n, s = z_vals.shape
     if r_tile <= 0:
         r_tile = max(8, 512 // s)  # >= 8: f32 sublane granularity
     t = r_tile * s
     n_pad = _round_up(max(n, r_tile), r_tile)
     c_out = params.feat_w.shape[1]
     c_pad = _round_up(c_out + 1, LANE)
-    s_pad = s  # S must be lane-friendly; CR-NeRF uses 64/128
 
-    # xyz-only per-point stream + tiny per-ray dir block (split-dir)
-    enc = grouped_encode(
-        xyz.reshape(-1, 3), None, n_emb_xyz, n_emb_dir,
-        out_dtype=compute_dtype, exact=exact_encode, include_dirs=False,
+    in0, z_p, no_p, dir_blk, wargs = _stage_inputs(
+        params, pos, dirs, z_vals, noise, n, s, n_pad, n_emb_xyz,
+        n_emb_dir, compute_dtype, exact_encode, rays_in, skips,
     )
-    enc = jnp.pad(enc, ((0, (n_pad - n) * s), (0, 0)))
-    dir_blk = _pad_rays(
-        dir_block_encode(dirs, n_emb_dir, compute_dtype, exact_encode),
-        n_pad, n,
-    )
-    z_p = _pad_rays(z_vals.astype(jnp.float32), n_pad, n)
-    no_p = _pad_rays(noise.astype(jnp.float32), n_pad, n)
-
-    wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips, compute_dtype,
-                        split_dir=True)
     kernel = _make_render_fwd_kernel(
-        len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s
+        len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s,
+        n_emb_xyz, rays_in,
     )
     const = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -519,11 +654,10 @@ def fused_render_apply(
         kernel,
         grid=(n_pad // r_tile,),
         in_specs=[
-            pl.BlockSpec((t, enc.shape[-1]), lambda i: (i, 0),
+            _in0_spec(rays_in, t, in0.shape[-1], r_tile),
+            pl.BlockSpec((r_tile, s), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_tile, s_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_tile, s_pad), lambda i: (i, 0),
+            pl.BlockSpec((r_tile, s), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -531,15 +665,18 @@ def fused_render_apply(
         out_specs=[
             pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_tile, s_pad), lambda i: (i, 0),
+            pl.BlockSpec((r_tile, s), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, s), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((enc_t_rows(n_emb_xyz), t), jnp.float32)
         ],
         interpret=interpret,
-    )(enc, z_p, no_p, dir_blk, *wargs)
+    )(in0, z_p, no_p, dir_blk, *wargs)
     return out_ray[:n], weights[:n]
 
 
@@ -553,51 +690,46 @@ def make_fused_render_train(
     skips: Tuple[int, ...] = (4,),
     interpret: bool = False,
     exact_encode: bool = True,
+    rays_in: bool = False,
 ):
     """Differentiable fused render: forward = the fused MLP+composite
     kernel; backward = one recompute kernel emitting WEIGHT grads only.
-    Cotangents arrive for (ray_block, weights); z/noise/rays get zeros."""
+    Cotangents arrive for (ray_block, weights); pos/z/noise/dirs get
+    zeros. apply_fn(params, pos, dirs, z_vals, noise): ``pos`` is xyz
+    (N,S,3), or per-ray ORIGINS (N,3) when rays_in (the kernel then
+    computes xyz + the encode itself; residuals are per-ray only)."""
     if r_tile <= 0:
         r_tile = max(8, 512 // s)  # >= 8: f32 sublane granularity
     fwd_kw = dict(n_emb_xyz=n_emb_xyz, n_emb_dir=n_emb_dir, r_tile=r_tile,
                   compute_dtype=compute_dtype, skips=skips,
-                  interpret=interpret, exact_encode=exact_encode)
+                  interpret=interpret, exact_encode=exact_encode,
+                  rays_in=rays_in)
 
     @jax.custom_vjp
-    def apply_fn(params: MlpParams, xyz, dirs, z_vals, noise):
-        return fused_render_apply(params, xyz, dirs, z_vals, noise,
+    def apply_fn(params: MlpParams, pos, dirs, z_vals, noise):
+        return fused_render_apply(params, pos, dirs, z_vals, noise,
                                   **fwd_kw)
 
-    def fwd(params, xyz, dirs, z_vals, noise):
-        n = xyz.shape[0]
+    def fwd(params, pos, dirs, z_vals, noise):
+        n = z_vals.shape[0]
         n_pad = _round_up(max(n, r_tile), r_tile)
-        enc = grouped_encode(
-            xyz.reshape(-1, 3), None, n_emb_xyz, n_emb_dir,
-            out_dtype=compute_dtype, exact=exact_encode,
-            include_dirs=False,
+        in0, z_p, no_p, dir_blk, wargs = _stage_inputs(
+            params, pos, dirs, z_vals, noise, n, s, n_pad, n_emb_xyz,
+            n_emb_dir, compute_dtype, exact_encode, rays_in, skips,
         )
-        enc = jnp.pad(enc, ((0, (n_pad - n) * s), (0, 0)))
-        dir_blk = _pad_rays(
-            dir_block_encode(dirs, n_emb_dir, compute_dtype,
-                             exact_encode),
-            n_pad, n,
-        )
-        z_p = _pad_rays(z_vals.astype(jnp.float32), n_pad, n)
-        no_p = _pad_rays(noise.astype(jnp.float32), n_pad, n)
-        out = _call_fwd(params, enc, z_p, no_p, dir_blk, n)
-        return out, (params, enc, z_p, no_p, dir_blk,
-                     jnp.zeros((n, 0), xyz.dtype),
+        out = _call_fwd(params, wargs, in0, z_p, no_p, dir_blk, n)
+        return out, (params, in0, z_p, no_p, dir_blk,
+                     jnp.zeros((n, 0), pos.dtype),
                      jnp.zeros((dirs.shape[0], 0), dirs.dtype))
 
-    def _call_fwd(params, enc, z_p, no_p, dir_blk, n):
+    def _call_fwd(params, wargs, in0, z_p, no_p, dir_blk, n):
         c_out = params.feat_w.shape[1]
         c_pad = _round_up(c_out + 1, LANE)
         n_pad = z_p.shape[0]
         t = r_tile * s
-        wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips,
-                            compute_dtype, split_dir=True)
         kernel = _make_render_fwd_kernel(
-            len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s
+            len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s,
+            n_emb_xyz, rays_in,
         )
         const = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -606,8 +738,7 @@ def make_fused_render_train(
             kernel,
             grid=(n_pad // r_tile,),
             in_specs=[
-                pl.BlockSpec((t, enc.shape[-1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                _in0_spec(rays_in, t, in0.shape[-1], r_tile),
                 pl.BlockSpec((r_tile, s), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_tile, s), lambda i: (i, 0),
@@ -625,12 +756,15 @@ def make_fused_render_train(
                 jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
                 jax.ShapeDtypeStruct((n_pad, s), jnp.float32),
             ],
+            scratch_shapes=[
+                pltpu.VMEM((enc_t_rows(n_emb_xyz), t), jnp.float32)
+            ],
             interpret=interpret,
-        )(enc, z_p, no_p, dir_blk, *wargs)
+        )(in0, z_p, no_p, dir_blk, *wargs)
         return out_ray[:n], weights[:n]
 
     def bwd(res, g):
-        params, enc, z_p, no_p, dir_blk, x_proxy, d_proxy = res
+        params, in0, z_p, no_p, dir_blk, x_proxy, d_proxy = res
         g_ray, g_w = g
         n = x_proxy.shape[0]
         n_pad = z_p.shape[0]
@@ -645,7 +779,7 @@ def make_fused_render_train(
         n_w = len(wargs)
         kernel = _make_render_bwd_kernel(
             len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s,
-            n_w,
+            n_w, n_emb_xyz, rays_in,
         )
         const = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -654,8 +788,7 @@ def make_fused_render_train(
             kernel,
             grid=(n_pad // r_tile,),
             in_specs=[
-                pl.BlockSpec((t, enc.shape[-1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                _in0_spec(rays_in, t, in0.shape[-1], r_tile),
                 pl.BlockSpec((r_tile, s), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((r_tile, s), lambda i: (i, 0),
@@ -671,12 +804,17 @@ def make_fused_render_train(
             out_shape=[
                 jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wargs
             ],
+            scratch_shapes=[
+                pltpu.VMEM((enc_t_rows(n_emb_xyz), t), jnp.float32)
+            ],
             interpret=interpret,
-        )(enc, z_p, no_p, dir_blk, g_ray_p, g_w_p, *wargs)
+        )(in0, z_p, no_p, dir_blk, g_ray_p, g_w_p, *wargs)
         dparams = _ungroup_grads(dwargs, params, n_emb_xyz, n_emb_dir,
                                  skips, split_dir=True)
+        dpos = (jnp.zeros((n, 3), x_proxy.dtype) if rays_in
+                else jnp.zeros((n, s, 3), x_proxy.dtype))
         return (dparams,
-                jnp.zeros((n, s, 3), x_proxy.dtype),
+                dpos,
                 jnp.zeros((d_proxy.shape[0], 3), d_proxy.dtype),
                 jnp.zeros((n, s), jnp.float32),
                 jnp.zeros((n, s), jnp.float32))

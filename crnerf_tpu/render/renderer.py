@@ -116,9 +116,14 @@ def _full_fused_eval(flax_params, xyz, rays_d, z_vals, noise_std,
     )
 
     n, s, _ = xyz.shape
+    # rays-in mode: xyz AND the encode are computed inside the kernel
+    # from per-ray origins/dirs/z — no per-point streams. The explicit
+    # xyz path remains for --pertubeCord's coordinate jitter.
+    rays_in = pertube_key is None and "raw_origins" in fused
     if pertube_key is not None:
         xyz = xyz + 1e-5 * jax.random.uniform(pertube_key, xyz.shape,
                                               xyz.dtype)
+    pos = fused["raw_origins"] if rays_in else xyz
     kp = mlp_params_from_flax(flax_params, depth=fused.get("depth", 8))
     if noise_std > 0 and kn is not None:
         noise = noise_std * jax.random.normal(kn, (n, s), jnp.float32)
@@ -128,16 +133,17 @@ def _full_fused_eval(flax_params, xyz, rays_d, z_vals, noise_std,
         compute_dtype=fused.get("compute_dtype", jnp.float32),
         interpret=fused.get("interpret", False),
         exact_encode=fused.get("exact_encode", True),
+        rays_in=rays_in,
     )
     if fused.get("train"):
         fn = make_fused_render_train(
             n_emb_xyz, fused["n_emb_dir"], s=s, **kw
         )
         sg = jax.lax.stop_gradient
-        return fn(kp, sg(xyz), sg(fused["raw_dirs"]), sg(z_vals),
+        return fn(kp, sg(pos), sg(fused["raw_dirs"]), sg(z_vals),
                   sg(noise))
     return fused_render_apply(
-        kp, xyz, fused["raw_dirs"], z_vals, noise,
+        kp, pos, fused["raw_dirs"], z_vals, noise,
         n_emb_xyz=n_emb_xyz, n_emb_dir=fused["n_emb_dir"], **kw,
     )
 
@@ -177,6 +183,7 @@ def render_rays(
         fused = dict(fused_opts)
         fused.setdefault("n_emb_dir", n_emb_dir)
         fused["raw_dirs"] = rays_d
+        fused["raw_origins"] = rays_o
         dir_emb = None  # the fused path encodes raw dirs per ray itself
     else:
         dir_emb = posenc(rays_d, n_emb_dir)
