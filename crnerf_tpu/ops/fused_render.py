@@ -171,7 +171,8 @@ def _composite_fwd_math(sigma_col, z, noise, a, b, s: int):
     return sigma_rs, deltas, act, alphas, trans, weights, w_big
 
 
-def _build_enc_t(od, z, a, b, n_emb_xyz: int, scratch):
+def _build_enc_t(od, z, a, b, n_emb_xyz: int, scratch,
+                 exact: bool = True):
     """In-kernel TRANSPOSED encode: od (R,8) = [o|d|pad] per-ray rows and
     z (R,S) -> fills ``scratch`` (enc_rows, T) with
     [x rows (3) | sin rows (3F) | cos rows (3F) | junk] and returns it.
@@ -200,26 +201,49 @@ def _build_enc_t(od, z, a, b, n_emb_xyz: int, scratch):
     xyz_t = o_sp + d_sp * z_row                         # (3, T)
 
     f = n_emb_xyz
-    rows3f = _round_up(3 * f, 8)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (rows3f, 8), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (rows3f, 8), 1)
-    # EXACT powers of two via the exponent bit field — jnp.exp2 computes
-    # exp(x ln 2) and lands ulps off, which the 2^14-octave sin amplifies
-    # to ~2e-2 encode error (and ~10% trunk-grad error)
-    pow2 = jax.lax.bitcast_convert_type((ri // 3 + 127) << 23, f32)
-    dmat = jnp.where((ci == ri % 3) & (ri < 3 * f), pow2, 0.0)
-    xyz_t8 = jnp.concatenate(
-        [xyz_t, jnp.zeros((5, xyz_t.shape[1]), f32)], axis=0
-    )
-    args = jax.lax.dot_general(
-        dmat, xyz_t8, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )  # (rows3f, T)
     scratch[0:3, :] = xyz_t
-    # sin block first, cos second: the cos store overwrites the sin
-    # store's pad rows (3+3F .. 3+rows3f) with its own valid head rows
-    scratch[3:3 + rows3f, :] = jnp.sin(args)
-    scratch[3 + 3 * f:3 + 3 * f + rows3f, :] = jnp.cos(args)
+    if exact:
+        rows3f = _round_up(3 * f, 8)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rows3f, 8), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (rows3f, 8), 1)
+        # EXACT powers of two via the exponent bit field — jnp.exp2
+        # computes exp(x ln 2) and lands ulps off, which the 2^14-octave
+        # sin amplifies to ~2e-2 encode error (~10% trunk-grad error)
+        pow2 = jax.lax.bitcast_convert_type((ri // 3 + 127) << 23, f32)
+        dmat = jnp.where((ci == ri % 3) & (ri < 3 * f), pow2, 0.0)
+        xyz_t8 = jnp.concatenate(
+            [xyz_t, jnp.zeros((5, xyz_t.shape[1]), f32)], axis=0
+        )
+        args = jax.lax.dot_general(
+            dmat, xyz_t8, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (rows3f, T)
+        # sin block first, cos second: the cos store overwrites the sin
+        # store's pad rows (3+3F .. 3+rows3f) with its valid head rows
+        scratch[3:3 + rows3f, :] = jnp.sin(args)
+        scratch[3 + 3 * f:3 + 3 * f + rows3f, :] = jnp.cos(args)
+        return scratch[:, :]
+    # anchored double-angle recurrence (same ladder as the stream path's
+    # fast_sincos: exact sin/cos every ANCHOR_SPAN octaves, ~2e-4 error,
+    # bf16-gated): 4x fewer transcendental elements than the exact sweep
+    from crnerf_tpu.ops.fused_mlp import ANCHOR_SPAN
+
+    t_cols = xyz_t.shape[1]
+    for a0 in range(0, f, ANCHOR_SPAN):
+        scale = float(2.0 ** a0)  # python float: exact power of two
+        va = xyz_t * scale
+        s_, c_ = jnp.sin(va), jnp.cos(va)
+        scratch[3 + 3 * a0:3 + 3 * a0 + 3, :] = s_
+        scratch[3 + 3 * f + 3 * a0:3 + 3 * f + 3 * a0 + 3, :] = c_
+        for k in range(a0 + 1, min(a0 + ANCHOR_SPAN, f)):
+            s_, c_ = 2.0 * s_ * c_, 1.0 - 2.0 * s_ * s_
+            scratch[3 + 3 * k:3 + 3 * k + 3, :] = s_
+            scratch[3 + 3 * f + 3 * k:3 + 3 * f + 3 * k + 3, :] = c_
+    rows = scratch.shape[0]
+    if rows > 3 + 6 * f:  # zero the pad tail (uninit VMEM may hold NaN)
+        scratch[3 + 6 * f:rows, :] = jnp.zeros(
+            (rows - 3 - 6 * f, t_cols), f32
+        )
     return scratch[:, :]
 
 
@@ -279,7 +303,8 @@ def _mlp_fwd(enc_mm, nxt, n_layers, skips, dt, keep_acts: bool,
 
 # ---------------------------------------------------------------- kernels
 def _make_render_fwd_kernel(n_layers, skips, c_out, compute_dtype,
-                            r_tile, s, n_emb_xyz, rays_in):
+                            r_tile, s, n_emb_xyz, rays_in,
+                            exact_encode=True):
     def kernel(in0_ref, z_ref, noise_ref, dir_ref, *refs):
         out_ray_ref, w_ref = refs[-3], refs[-2]
         scratch = refs[-1]
@@ -309,7 +334,7 @@ def _make_render_fwd_kernel(n_layers, skips, c_out, compute_dtype,
 
         if rays_in:
             enc_t = _build_enc_t(in0_ref[:, :], z, a, b, n_emb_xyz,
-                                 scratch)
+                                 scratch, exact=exact_encode)
             rows = enc_t.shape[0]
 
             def enc_mm(w_ref_):
@@ -348,7 +373,8 @@ def _make_render_fwd_kernel(n_layers, skips, c_out, compute_dtype,
 
 
 def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
-                            r_tile, s, n_w, n_emb_xyz, rays_in):
+                            r_tile, s, n_w, n_emb_xyz, rays_in,
+                            exact_encode=True):
     """Recompute MLP+composite, backprop through both, accumulate weight
     grads in constant-index output blocks."""
 
@@ -413,7 +439,7 @@ def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
 
         if rays_in:
             enc_t = _build_enc_t(in0_ref[:, :], z, a, b, n_emb_xyz,
-                                 scratch)
+                                 scratch, exact=exact_encode)
             rows = enc_t.shape[0]
 
             def enc_mm(w_ref_):
@@ -645,7 +671,7 @@ def fused_render_apply(
     )
     kernel = _make_render_fwd_kernel(
         len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s,
-        n_emb_xyz, rays_in,
+        n_emb_xyz, rays_in, exact_encode,
     )
     const = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -729,7 +755,7 @@ def make_fused_render_train(
         t = r_tile * s
         kernel = _make_render_fwd_kernel(
             len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s,
-            n_emb_xyz, rays_in,
+            n_emb_xyz, rays_in, exact_encode,
         )
         const = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -779,7 +805,7 @@ def make_fused_render_train(
         n_w = len(wargs)
         kernel = _make_render_bwd_kernel(
             len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s,
-            n_w, n_emb_xyz, rays_in,
+            n_w, n_emb_xyz, rays_in, exact_encode,
         )
         const = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM

@@ -562,3 +562,19 @@ class TestRaysInFusedRender:
         for a_, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ker)):
             np.testing.assert_allclose(np.asarray(b_), np.asarray(a_),
                                        atol=1e-4, rtol=1e-3)
+    def test_fast_encode_close_to_exact(self):
+        """In-kernel anchored recurrence (exact_encode=False) vs exact —
+        same error envelope as the stream fast_sincos ladder."""
+        from crnerf_tpu.ops.fused_render import fused_render_apply
+
+        p, o, d, z, xyz, noise = self._setup(n=16)
+        blk_e, w_e = fused_render_apply(
+            p, o, d, z, noise, r_tile=8, interpret=True, rays_in=True,
+            exact_encode=True,
+        )
+        blk_f, w_f = fused_render_apply(
+            p, o, d, z, noise, r_tile=8, interpret=True, rays_in=True,
+            exact_encode=False,
+        )
+        assert float(jnp.abs(blk_f - blk_e).max()) < 5e-3
+        assert float(jnp.abs(w_f - w_e).max()) < 5e-3
