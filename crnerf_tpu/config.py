@@ -102,9 +102,10 @@ class Config:
     # ---- TPU-native knobs (no reference equivalent) ----
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' for MLP matmuls
     # Pallas routing defaults follow the measured-faster option per path
-    # (BASELINE.md 2026-08-16): XLA wins eval-time inference, the fused
-    # fwd+bwd kernels win training (+15% end-to-end).
-    use_pallas: bool = False  # fused kernel for INFERENCE renders
+    # (BASELINE.md): since the rays-in fused render kernel (2026-08-17)
+    # Pallas wins BOTH paths — inference 0.585 vs 0.777 s/frame XLA at
+    # the eval protocol's 256+256 sampling, training +145% vs XLA.
+    use_pallas: bool = True  # fused kernel for INFERENCE renders
     pallas_train: bool = True  # fused fwd+bwd MLP in the TRAIN step (TPU)
     pallas_render: bool = True  # fuse alpha-compositing INTO the Pallas
     # kernel (ops/fused_render): per-point features never touch HBM; only
