@@ -578,3 +578,32 @@ class TestRaysInFusedRender:
         )
         assert float(jnp.abs(blk_f - blk_e).max()) < 5e-3
         assert float(jnp.abs(w_f - w_e).max()) < 5e-3
+
+    def test_pertube_cord_falls_back_to_stream_mode(self):
+        """--pertubeCord jitters explicit xyz, which the rays-in kernel
+        cannot represent — the renderer must fall back to the
+        encode-stream kernel and still run end to end."""
+        from crnerf_tpu.render.renderer import render_rays
+
+        mlp = NerfMLP(depth=4, width=64, out_dim=16)
+        n = 16
+        o = jax.random.normal(jax.random.PRNGKey(3), (n, 3))
+        d = jax.random.normal(jax.random.PRNGKey(4), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.concatenate(
+            [o, d, jnp.full((n, 1), 0.5), jnp.full((n, 1), 4.0)], -1
+        )
+        v = mlp.init(jax.random.PRNGKey(0), posenc(o, 15), posenc(d, 4))
+        params = {"coarse": v["params"], "fine": v["params"]}
+        apply_fn = lambda p, x, dd: mlp.apply({"params": p}, x, dd)  # noqa
+
+        kw = dict(n_samples=8, n_importance=8, test_time=False,
+                  perturb=1.0, noise_std=0.0, pertube_cord=True)
+        out = render_rays(
+            apply_fn, apply_fn, params, rays, jax.random.PRNGKey(0),
+            fused_opts={"n_emb_dir": 4, "depth": 4, "interpret": True,
+                        "full": True},
+            **kw,
+        )
+        assert out["feature_fine"].shape == (n, 16)
+        assert bool(jnp.isfinite(out["feature_fine"]).all())
