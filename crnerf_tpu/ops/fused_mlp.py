@@ -8,11 +8,15 @@ whole trunk+heads chain runs inside ONE kernel per tile of points: weights
 (~0.6M params) stay VMEM-resident for the entire grid, activations never
 leave VMEM, every matmul hits the MXU with fp32 accumulation.
 
-Design (v3 — exact encode, lane-packed):
+Design (v3 — exact encode, lane-packed). NOTE: this module is the
+FALLBACK path; the production route is ops/fused_render's "rays-in"
+kernels, which also fold compositing and the encode itself into the
+kernel (Mosaic sin/cos measured bitwise-identical to XLA's — the old
+in-kernel-divergence lore traced to inexact jnp.exp2 scale factors, see
+fused_render._build_enc_t).
 - The positional encoding is computed OUTSIDE the kernel by XLA's exact
-  elementwise sin/cos (in-kernel transcendentals of args up to 2^14 rad
-  diverge from XLA's range reduction — measured 0.1 absolute), packed
-  GROUPED into a single 128-lane block per point:
+  elementwise sin/cos, packed GROUPED into a single 128-lane block per
+  point:
   [x(3) | sin_x(3F1) | cos_x(3F1) | d(3) | sin_d(3F2) | cos_d(3F2)]
   = 120 lanes for the CR-NeRF config. One (T, 128) input stream carries
   the entire encode for both branches.
