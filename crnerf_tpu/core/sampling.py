@@ -103,17 +103,19 @@ def sample_pdf(key, bins, weights, n_importance: int, det: bool,
     return bins_below + t * (bins_above - bins_below)
 
 
-def merge_sorted_zvals(z_coarse, z_fine):
+def merge_sorted_zvals(z_coarse, z_fine, *, inputs_sorted: bool = True):
     """Sorted union of coarse and fine samples (rendering.py:187).
 
-    Both inputs are ascending (stratified/perturbed bins are disjoint;
-    ``sample_pdf`` draws sorted uniforms), so [z_coarse, reverse(z_fine)]
-    is bitonic and a log2(S)-stage compare-exchange merge sorts it — a
-    full sorting network is log^2(S) stages. Non-power-of-2 totals fall
-    back to an (unstable) lax.sort.
+    When ``inputs_sorted`` both inputs are ascending (stratified bins are
+    disjoint for perturb <= 1; ``sample_pdf`` draws sorted uniforms), so
+    [z_coarse, reverse(z_fine)] is bitonic and a log2(S)-stage
+    compare-exchange merge sorts it — a full sorting network is log^2(S)
+    stages. Callers must pass ``inputs_sorted=False`` when z_coarse may be
+    unsorted (perturb > 1 overshoots the mid-point intervals); that and
+    non-power-of-2 totals fall back to an (unstable) lax.sort.
     """
     n = z_coarse.shape[-1] + z_fine.shape[-1]
-    if n & (n - 1) == 0:
+    if inputs_sorted and n & (n - 1) == 0:
         x = jnp.concatenate([z_coarse, jnp.flip(z_fine, -1)], -1)
         k = n // 2
         while k >= 1:

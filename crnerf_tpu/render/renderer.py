@@ -188,11 +188,11 @@ def render_rays(
     else:
         dir_emb = posenc(rays_d, n_emb_dir)
 
-    def run_composite(out, z, noise, kn):
+    def run_composite(p, out, z, noise, kn):
         """Dispatch on _eval_mlp's return convention (packed lane block on
         the fused path, (features, sigmas) on the flax path)."""
         if fused is not None:
-            c_out = params["coarse"]["feature"]["kernel"].shape[-1]
+            c_out = p["feature"]["kernel"].shape[-1]
             return composite_packed(out, c_out, z, noise, kn)
         feats, sigmas = out
         return composite(feats, sigmas, z, noise, kn)
@@ -219,7 +219,7 @@ def render_rays(
             p, xyz_in, dir_emb, n_emb_xyz, remat,
             kp if pertube_cord else None, fused=fused,
         )
-        return run_composite(out, z, noise, kn)
+        return run_composite(p, out, z, noise, kn)
 
     w_c, fmap_c, depth_c = run_pass(
         params["coarse"], xyz, z_vals,
@@ -238,7 +238,7 @@ def render_rays(
         kpdf, z_mid, jax.lax.stop_gradient(w_c[:, 1:-1]),
         n_importance, det=(perturb == 0) or test_time,
     )
-    z_all = merge_sorted_zvals(z_vals, z_fine)
+    z_all = merge_sorted_zvals(z_vals, z_fine, inputs_sorted=perturb <= 1.0)
     xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
     w_f, fmap_f, depth_f = run_pass(
         params["fine"], xyz_f, z_all,

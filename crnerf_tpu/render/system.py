@@ -176,9 +176,10 @@ class CrNerfSystem:
         return self.m.mask_net.apply(v, whole01, train=False), None
 
     def _render_kw(self, train: bool) -> Dict[str, Any]:
-        """render_rays keyword bundle incl. Pallas routing. Training routes
-        through the fused fwd+bwd kernels; inference defaults to XLA (the
-        measured-faster option per path — BASELINE.md). pallas_interpret
+        """render_rays keyword bundle incl. Pallas routing. Both training
+        and inference default to the fused rays-in Pallas kernels — the
+        measured-faster option on both paths since the rays-in rewrite
+        (0.585 vs 0.777 s/frame at eval; BASELINE.md). pallas_interpret
         runs the same Pallas route through the interpreter on CPU (CI
         coverage of the TPU code path)."""
         cfg = self.cfg

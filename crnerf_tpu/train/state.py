@@ -5,9 +5,13 @@ This is the TPU-native answer to the reference's scattered mutable state
 ``embedding_a_list`` Python list (train…py:89,221 — lost on resume, never
 checkpointed), and the ``global_val.current_epoch`` module global. Here:
 params, optimizer state, CGNet batch stats, the appearance-embedding cache
-(as a dense (N_vocab, 32, 32, C) array + validity mask — checkpointed, DP-
-replicated), the PRNG key, and the step counter all live in one orbax-
+(as a dense FLAT (N_vocab, hw*hw*C) array + validity mask — checkpointed,
+DP-replicated), the PRNG key, and the step counter all live in one orbax-
 checkpointable pytree.
+
+Checkpoint compat: checkpoints written before 2026-08-17 stored the cache
+as 4-D (N_vocab, hw, hw, C); ``utils/checkpoint.py`` reshapes such rows on
+restore (the flat re-layout is a pure reshape, bit-identical data).
 """
 
 from __future__ import annotations

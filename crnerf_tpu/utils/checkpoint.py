@@ -51,14 +51,32 @@ class CheckpointManager:
 
     def restore(self, state_like, step: Optional[int] = None):
         """Restore into the structure of ``state_like`` (shapes/dtypes must
-        match). Returns the restored pytree."""
+        match). Returns the restored pytree.
+
+        Compat shim: checkpoints written before the flat cache re-layout
+        store ``embedding_cache`` as 4-D (N_vocab, hw, hw, C); when the
+        template's flat (N_vocab, hw*hw*C) restore fails on that shape, the
+        restore is retried with a 4-D template and the row data reshaped
+        flat (a pure reshape — bit-identical; see train/state.py)."""
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         target = jax.tree.map(
             lambda x: np.asarray(x) if hasattr(x, "shape") else x, state_like
         )
-        return self.mgr.restore(step, args=ocp.args.StandardRestore(target))
+        out = self.mgr.restore(step, args=ocp.args.StandardRestore(target))
+        template = getattr(state_like, "embedding_cache", None)
+        restored = getattr(out, "embedding_cache", None)
+        if (
+            template is not None
+            and restored is not None
+            and template.ndim == 2
+            and np.ndim(restored) == 4
+        ):
+            out = out.replace(
+                embedding_cache=np.asarray(restored).reshape(template.shape)
+            )
+        return out
 
     def close(self):
         self.mgr.close()

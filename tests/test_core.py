@@ -234,6 +234,15 @@ class TestSamplePdf:
         want = jnp.sort(jnp.concatenate([a, b], -1), -1)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want))
 
+    def test_merge_unsorted_inputs_fallback(self):
+        """perturb > 1 can leave z_coarse unsorted; inputs_sorted=False
+        must still return the sorted union (lax.sort fallback)."""
+        a = jax.random.uniform(jax.random.key(2), (9, 64))  # unsorted
+        b = jnp.sort(jax.random.uniform(jax.random.key(3), (9, 64)), -1)
+        got = merge_sorted_zvals(a, b, inputs_sorted=False)
+        want = jnp.sort(jnp.concatenate([a, b], -1), -1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
 
 # ---------------------------------------------------------------- compositing
 class TestCompositing:

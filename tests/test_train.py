@@ -254,6 +254,32 @@ class TestCheckpoint:
             np.asarray(host.params["nerf_coarse"]["sigma"]["kernel"]),
         )
 
+    def test_restore_legacy_4d_cache(self, tmp_path):
+        """Checkpoints written before the flat cache re-layout hold a 4-D
+        (N_vocab, hw, hw, C) embedding_cache; restore must reshape them
+        into the flat template (utils/checkpoint.py compat shim)."""
+        from crnerf_tpu.utils.checkpoint import CheckpointManager
+
+        cfg = Config(**TINY)
+        system, tx, sched, state = _setup(cfg)
+        host = jax.device_get(state)
+        n_vocab = host.embedding_cache.shape[0]
+        hw, c = host.embed_hw, host.embed_c
+        cache = np.arange(
+            n_vocab * hw * hw * c, dtype=np.float32
+        ).reshape(n_vocab, hw * hw * c)
+        legacy = host.replace(
+            embedding_cache=cache.reshape(n_vocab, hw, hw, c)
+        )
+        mgr = CheckpointManager(str(tmp_path / "ck_legacy"))
+        mgr.save(1, legacy)
+        restored = mgr.restore(host)  # flat template
+        assert restored.embedding_cache.shape == (n_vocab, hw * hw * c)
+        np.testing.assert_array_equal(
+            np.asarray(restored.embedding_cache), cache
+        )
+        mgr.close()
+
     def test_load_selective(self):
         from crnerf_tpu.utils.checkpoint import load_selective
 
