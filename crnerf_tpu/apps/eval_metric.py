@@ -74,15 +74,26 @@ def main(argv: Optional[Sequence[str]] = None):
     import imageio.v2 as imageio
 
     rows = []
+    missing = []
     for i, im in enumerate(images):
         path = os.path.join(render_dir, f"{i:03d}.png")
         if not os.path.exists(path):
+            missing.append(os.path.basename(path))
             continue
         pred = np.asarray(imageio.imread(path), np.float32) / 255.0
         w, h = im.wh
         gt = im.rgbs.reshape(h, w, 3)
         rows.append(score_pair(pred, gt, lpips_fn))
 
+    if missing:
+        # fail loudly: a half-finished render dir must not score as a
+        # healthy mean (the reference iterates the dataset directly, so a
+        # missing frame would crash it — eval_metric.py:72-88)
+        raise FileNotFoundError(
+            f"{render_dir}: expected {len(images)} renders, found "
+            f"{len(rows)}; missing {missing[:10]}"
+            + ("..." if len(missing) > 10 else "")
+        )
     if not rows:
         raise FileNotFoundError(f"no renders found under {render_dir}")
     mean = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}

@@ -31,7 +31,7 @@ def main(argv: Optional[Sequence[str]] = None):
         )
     logger = MetricLogger(
         os.path.join(cfg.save_dir, "logs"), cfg.exp_name,
-        project=cfg.proj_name,
+        use_wandb=cfg.use_wandb, project=cfg.proj_name,
     )
     trainer = Trainer(cfg, scene, logger=logger)
     state = trainer.fit()

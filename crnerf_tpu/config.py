@@ -125,6 +125,11 @@ class Config:
     remat: bool = True  # jax.checkpoint the MLP eval (HBM <-> FLOPs trade)
     val_chunk: int = 2048  # reference forces chunk 2048 in val (train…py:180)
     log_every: int = 50
+    use_wandb: bool = False  # attach wandb to the MetricLogger when the
+    # package is importable (reference WandbLogger, train…py:433-439);
+    # JSONL stays on either way
+    img_panel_every: int = 5000  # train-time gt/pred/random/mask panels
+    # every N steps (reference train…py:299-335); 0 disables
     ckpt_every_epochs: int = 1
     seed: int = 42
     donate_state: bool = True
@@ -174,7 +179,7 @@ _BOOL_FIELDS = {
     "use_cache", "testit", "use_disp", "pertube_cord", "use_residual",
     "encode_a", "encode_c", "encode_random", "use_mask", "mse_on_appearance",
     "use_pallas", "pallas_train", "pallas_render", "pallas_interpret",
-    "fast_sincos", "remat", "donate_state", "profile",
+    "fast_sincos", "remat", "donate_state", "profile", "use_wandb",
 }
 
 

@@ -151,6 +151,13 @@ class Trainer:
                 self.state, metrics = self.step_fn(self.state, batch)
                 global_step += 1
                 if (
+                    self.logger
+                    and cfg.img_panel_every > 0
+                    and global_step % cfg.img_panel_every == 0
+                    and jax.process_index() == 0
+                ):
+                    self._log_train_panels(batch, global_step)
+                if (
                     cfg.profile
                     and global_step == cfg.profile_steps[1]
                     and jax.process_index() == 0
@@ -193,6 +200,74 @@ class Trainer:
                     os.path.join(self.ckpt.directory, "weights.npz"),
                 )
         return self.state
+
+    # ------------------------------------------------------- train panels
+    def _log_train_panels(self, batch, global_step: int):
+        """gt / pred / random-style pred / mask panels from the CURRENT
+        training grid, every ``img_panel_every`` steps (reference logs the
+        same panels to wandb every 5000 steps —
+        train_mask_grid_sample.py:299-335). Renders device-0/grid-0 of the
+        batch through a separately-jitted no-grad forward (the hot train
+        step stays untouched)."""
+        cfg = self.cfg
+        # slice the leading device/grid axes down to one flat (B, ...) grid
+        b = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), batch)
+        lead = (self.n_devices > 1) + (self.grids > 1)
+        for _ in range(lead):
+            b = jax.tree.map(lambda x: x[0], b)
+
+        if not hasattr(self, "_panel_fn"):
+            from crnerf_tpu.train.step import _select_random_embedding
+
+            def panels(state: TrainState, pb):
+                variables = {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                }
+                _, ksel, kf = jax.random.split(state.rng, 3)
+                a_rand, has_any = _select_random_embedding(ksel, state)
+                use_rand = cfg.encode_random and cfg.encode_a
+                results, _ = self.system.forward(
+                    variables, pb, kf,
+                    a_embedded_random=a_rand if use_rand else None,
+                    random_has_any=has_any if use_rand else None,
+                    train=True,
+                )
+                hw = cfg.grid_hw
+                typ = "rgb_fine" if cfg.N_importance > 0 else "rgb_coarse"
+                out = {"pred": results[typ].reshape(hw, hw, 3)}
+                if "rgb_fine_random" in results:
+                    out["pred_random"] = results["rgb_fine_random"].reshape(
+                        hw, hw, 3
+                    )
+                if "out_mask" in results:
+                    out["mask"] = results["out_mask"].reshape(hw, hw)
+                if "rgb_content_img" in results:
+                    out["content"] = results["rgb_content_img"].reshape(
+                        hw, hw, 3
+                    )
+                return out
+
+            self._panel_fn = jax.jit(panels)
+
+        out = jax.device_get(self._panel_fn(self.state, b))
+        hw = cfg.grid_hw
+        self.logger.log_image(
+            "train/gt", b["rgbs"].reshape(hw, hw, 3), global_step
+        )
+        self.logger.log_image("train/pred", out["pred"], global_step)
+        if "pred_random" in out:
+            self.logger.log_image(
+                "train/pred_random", out["pred_random"], global_step
+            )
+        if "mask" in out:
+            self.logger.log_image(
+                "train/mask", np.repeat(out["mask"][..., None], 3, -1),
+                global_step,
+            )
+        if "content" in out:
+            self.logger.log_image("train/content", out["content"],
+                                  global_step)
 
     # ---------------------------------------------------------- rendering
     def _render_fn(self, hw: Tuple[int, int]):

@@ -242,6 +242,39 @@ class TestTrainerResume:
         assert tr2.fit() is not None
 
 
+class TestTrainPanels:
+    def test_panels_written_during_fit(self, tmp_path):
+        """img_panel_every logs gt/pred/random/mask panels from the live
+        training grid (reference wandb panels every 5000 steps,
+        train…py:299-335)."""
+        import glob
+
+        import jax
+
+        from crnerf_tpu.data import make_synthetic_scene
+        from crnerf_tpu.train.loop import Trainer
+        from crnerf_tpu.utils.logging import MetricLogger
+
+        cfg = Config(
+            batch_size=16, N_samples=4, N_importance=4, netdepth=2,
+            netwidth=16, nerf_out_dim=8, N_vocab=10,
+            appearance_wh=(32, 24), chunk=256, num_epochs=1, lr=5e-4,
+            save_dir=str(tmp_path), exp_name="panels", log_every=1000,
+            dataset_name="synthetic", num_devices=1, img_panel_every=2,
+        )
+        scene = make_synthetic_scene(
+            appearance_wh=(32, 24), img_wh=(24, 18), n_train=2, n_test=1
+        )
+        logger = MetricLogger(str(tmp_path / "logs"), "panels")
+        tr = Trainer(cfg, scene, logger=logger)
+        tr.fit()
+        logger.close()
+        imgs = glob.glob(str(tmp_path / "logs" / "panels" / "images" / "*"))
+        names = {os.path.basename(p).rsplit("_", 1)[0] for p in imgs}
+        assert {"train_gt", "train_pred", "train_pred_random",
+                "train_mask"} <= names
+
+
 class TestSsimIndependentReference:
     def test_matches_scipy_mirror(self):
         """Our kornia-semantics SSIM vs an independent scipy implementation
@@ -328,6 +361,15 @@ class TestPhototourismPipeline:
                          "--scene_name", "scene", "--save_dir", out,
                          "--img_downscale", "2"])
         assert np.isfinite(m["psnr"]) and np.isfinite(m["ssim"])
+
+        # a half-finished render dir must fail loudly, not score a
+        # healthy-looking mean over the frames that do exist
+        os.remove(glob.glob(f"{out}/results/phototourism/scene/*.png")[0])
+        with pytest.raises(FileNotFoundError, match="expected 1 renders"):
+            metric_main(["--root_dir", root,
+                         "--dataset_name", "phototourism",
+                         "--scene_name", "scene", "--save_dir", out,
+                         "--img_downscale", "2"])
 
 
 class TestBlenderPipeline:
