@@ -127,6 +127,118 @@ class TestSchedules:
         assert float(s(20)) == pytest.approx(2e-3, rel=1e-3)
 
 
+class TestRanger:
+    """The `ranger` optimizer must be TRUE torch_optimizer.Ranger
+    (reference utils/__init__.py:30-38): gradient centralization + RAdam
+    (betas=(0.95, 0.999), N_sma_threshhold=5) + slow-weight
+    Lookahead(k=6, alpha=0.5) — not an EMA stand-in. The mirror below is
+    an independent transcription of the published algorithms in the torch
+    layout (out-dim first; our flax kernels are out-dim LAST, hence the
+    transposes)."""
+
+    @staticmethod
+    def _ranger_mirror_step(p, g, st, lr, b1=0.95, b2=0.999, eps=1e-8,
+                            thresh=5, wd=0.0, k=6, alpha=0.5):
+        """One torch-layout Ranger step on a single param. st is a dict
+        holding step/exp_avg/exp_avg_sq/slow."""
+        import math
+
+        st["step"] += 1
+        t = st["step"]
+        if g.ndim > 1:  # gradient centralization (dims 1..n)
+            g = g - g.mean(axis=tuple(range(1, g.ndim)), keepdims=True)
+        st["exp_avg"] = b1 * st["exp_avg"] + (1 - b1) * g
+        st["exp_avg_sq"] = b2 * st["exp_avg_sq"] + (1 - b2) * g * g
+        b2t = b2 ** t
+        n_sma_max = 2 / (1 - b2) - 1
+        n_sma = n_sma_max - 2 * t * b2t / (1 - b2t)
+        if n_sma > thresh:
+            step_size = math.sqrt(
+                (1 - b2t) * (n_sma - 4) / (n_sma_max - 4)
+                * (n_sma - 2) / n_sma * n_sma_max / (n_sma_max - 2)
+            ) / (1 - b1 ** t)
+        else:
+            step_size = 1.0 / (1 - b1 ** t)
+        if wd != 0:
+            p = p - wd * lr * p
+        if n_sma > thresh:
+            denom = np.sqrt(st["exp_avg_sq"]) + eps
+            p = p - step_size * lr * st["exp_avg"] / denom
+        else:
+            p = p - step_size * lr * st["exp_avg"]
+        if st["step"] % k == 0:
+            st["slow"] = st["slow"] + alpha * (p - st["slow"])
+            p = st["slow"].copy()
+        return p
+
+    @pytest.mark.parametrize("wd", [0.0, 0.01])
+    def test_trajectory_matches_torch_ranger_transcription(self, wd):
+        from crnerf_tpu.train.optim import ranger
+
+        lr = 0.01
+        rng = np.random.RandomState(0)
+        # 'w' is 2-D (GC applies), 'v' is 1-D (GC skipped)
+        w0 = rng.randn(5, 3)                          # flax (in, out)
+        v0 = rng.randn(4)
+        grads = [
+            {"w": rng.randn(5, 3), "v": rng.randn(4)} for _ in range(25)
+        ]
+
+        # float64 on both sides -> the comparison checks SEMANTICS, not
+        # f32 rounding-order noise
+        with jax.enable_x64(True):
+            tx = ranger(lambda step: lr, weight_decay=wd)
+            params = {"w": jnp.asarray(w0), "v": jnp.asarray(v0)}
+            opt_state = tx.init(params)
+            traj = []
+            for g in grads:
+                updates, opt_state = tx.update(
+                    jax.tree.map(jnp.asarray, g), opt_state, params
+                )
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                traj.append(jax.tree.map(np.asarray, params))
+
+        # torch-layout mirror: transpose 'w' so out-dim is first
+        def fresh(p):
+            return {
+                "step": 0,
+                "exp_avg": np.zeros_like(p),
+                "exp_avg_sq": np.zeros_like(p),
+                "slow": p.copy(),
+            }
+
+        pw, pv = w0.T.copy(), v0.copy()
+        stw, stv = fresh(pw), fresh(pv)
+        for i, g in enumerate(grads):
+            pw = self._ranger_mirror_step(pw, g["w"].T, stw, lr, wd=wd)
+            pv = self._ranger_mirror_step(pv, g["v"], stv, lr, wd=wd)
+            np.testing.assert_allclose(
+                traj[i]["w"], pw.T, atol=1e-12, rtol=1e-10,
+                err_msg=f"step {i + 1} (w)"
+            )
+            np.testing.assert_allclose(
+                traj[i]["v"], pv, atol=1e-12, rtol=1e-10,
+                err_msg=f"step {i + 1} (v)"
+            )
+
+    def test_lookahead_sync_behavior(self):
+        """Between syncs params move freely; at step k the params snap to
+        slow + alpha*(fast - slow) with slow starting at init."""
+        from crnerf_tpu.train.optim import lookahead
+
+        tx = lookahead(k=3, alpha=0.5)
+        p = {"x": jnp.zeros(2)}
+        st = tx.init(p)
+        fixed = {"x": jnp.ones(2)}  # pretend inner update is +1 each step
+        ps = []
+        for _ in range(6):
+            u, st = tx.update(fixed, st, p)
+            p = jax.tree.map(lambda a, b: a + b, p, u)
+            ps.append(float(p["x"][0]))
+        # steps: 1, 2, sync(0 + .5*(3-0))=1.5, 2.5, 3.5, sync(1.5+.5*3)=3
+        assert ps == pytest.approx([1.0, 2.0, 1.5, 2.5, 3.5, 3.0])
+
+
 class TestTrainStep:
     def test_loss_decreases_and_cache_written(self):
         cfg = Config(**TINY)
