@@ -328,6 +328,79 @@ class TestShardedTrainStep:
             np.testing.assert_array_equal(shards[0], s)
 
 
+class TestDevicesTimesGrids:
+    def test_8dev_g2_matches_16grid_single_device(self):
+        """The flagship multi-chip layout (D=8 devices x G=2 grids/device)
+        must be numerically the reference's 16-rank DDP semantics, i.e.
+        identical to the single-device G=16 run: pmean-over-D of
+        mean-over-G == mean-over-16 for grads/BN stats, and all 16
+        embedding-cache writes land on every replica
+        (train_mask_grid_sample.py:445-447 semantics)."""
+        from crnerf_tpu.parallel.mesh import (
+            DATA_AXIS, make_mesh, put_global_batch, put_replicated,
+            shard_train_step,
+        )
+
+        cfg = Config(**TINY).replace(perturb=0.0)
+        system, tx, sched, state = _setup(cfg)
+        D, G = 8, 2
+        parts = [_batch(cfg, seed=s) for s in range(D * G)]
+        for i, p in enumerate(parts):
+            p["ts"][:] = i % cfg.N_vocab
+        flat = {k: np.stack([p[k] for p in parts]) for k in parts[0]}
+
+        # single-device, G=16
+        step16 = jax.jit(
+            make_train_step(system, tx, sched, grids_per_step=D * G)
+        )
+        s16, m16 = step16(state, jax.tree.map(jnp.asarray, flat))
+
+        # 8-device shard_map, G=2: device d consumes grids [G*d, G*d+1]
+        # (the TrainPipeline.epoch_batches (D, G, B, ...) reshape order)
+        mesh = make_mesh(D)
+        sdg = put_replicated(jax.device_get(state), mesh)
+        stepDG = shard_train_step(
+            make_train_step(
+                system, tx, sched, axis_name=DATA_AXIS, grids_per_step=G
+            ),
+            mesh, donate_state=False,
+        )
+        batch = {
+            k: v.reshape(D, G, *v.shape[1:]) for k, v in flat.items()
+        }
+        sDG, mDG = stepDG(sdg, put_global_batch(batch, mesh))
+
+        assert float(mDG["loss"]) == pytest.approx(
+            float(m16["loss"]), rel=1e-5
+        )
+        # updated params identical (DDP grad-equivalence)
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(s16.params)),
+            jax.tree.leaves(jax.device_get(sDG.params)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            )
+        # BN running stats identical
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(s16.batch_stats)),
+            jax.tree.leaves(jax.device_get(sDG.batch_stats)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            )
+        # all D*G cache writes land, identically to the single-device run
+        va = np.asarray(jax.device_get(s16.embedding_valid))
+        vb = np.asarray(jax.device_get(sDG.embedding_valid))
+        assert int(vb.sum()) == min(D * G, cfg.N_vocab)
+        np.testing.assert_array_equal(va, vb)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(s16.embedding_cache)),
+            np.asarray(jax.device_get(sDG.embedding_cache)),
+            rtol=1e-3, atol=1e-5,
+        )
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         from crnerf_tpu.utils.checkpoint import (
