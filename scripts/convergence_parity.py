@@ -1,0 +1,371 @@
+#!/usr/bin/env python
+"""System-level convergence parity vs the ACTUAL reference trainer.
+
+Module-level parity (tests/test_parity.py) proves each block's math; this
+harness proves the *composed system* — losses + annealing + BN-on-batch-1
+dynamics + grid sampling + per-epoch cosine schedule + Adam — converges
+like the reference. It drives the reference ``NeRFSystem.training_step``
+math (torch CPU: render_rays_cross_ray + decode + CRNeRFLoss + Adam/cosine,
+/root/reference/train_mask_grid_sample.py:268-337) and the crnerf_tpu
+trainer on IDENTICAL batches from IDENTICAL initial weights (ported with
+crnerf_tpu.utils.torch_port) and compares loss-term + PSNR trajectories.
+
+Determinism: perturb=0 (-> sample_pdf det, rendering.py:185), noise_std=0,
+encode_random off (the reference's random-embedding pick is an unseedable
+``random.choice``, train…py:166 — with it on, trajectories decorrelate by
+construction; cache dynamics are covered by the stochastic band check in
+BASELINE.md instead). Everything else is the full composed model:
+encode_a + encode_c + use_mask (nerf_out_dim=64 — the only width at which
+the reference style_net can run forward, linearStyleTransfer.py:46-47).
+
+Usage:
+    python scripts/convergence_parity.py --epochs 3 --steps_per_epoch 40
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import types
+from typing import Dict, List
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+
+
+# --------------------------------------------------------------- ref shims
+def install_reference(torch):
+    """Make /root/reference importable (kornia is not in this image — stub
+    the two entry points its model code touches, with kornia's documented
+    semantics; same shim as tests/test_parity.py)."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    if "kornia" in sys.modules:
+        return
+
+    k = types.ModuleType("kornia")
+
+    def filter2d(x, kernel, border_type="reflect", normalized=False):
+        b, c, h, w = x.shape
+        kk = kernel[0]
+        if normalized:
+            kk = kk / kk.sum()
+        kh, kw = kk.shape
+        pad = (kw // 2, kw // 2, kh // 2, kh // 2)
+        xp = torch.nn.functional.pad(x, pad, mode="reflect")
+        weight = kk.expand(c, 1, kh, kw)
+        return torch.nn.functional.conv2d(xp, weight, groups=c)
+
+    k.filter2d = filter2d
+    k.__path__ = []
+    filters = types.ModuleType("kornia.filters")
+    filters.filter2d = filter2d
+    k.filters = filters
+    utils = types.ModuleType("kornia.utils")
+    k.utils = utils
+    sys.modules["kornia"] = k
+    sys.modules["kornia.filters"] = filters
+    sys.modules["kornia.utils"] = utils
+
+
+# ------------------------------------------------------------------ config
+def build_cfg(epochs: int, encode_random: bool = False):
+    from crnerf_tpu.config import Config
+
+    return Config(
+        batch_size=64, N_samples=8, N_importance=8,
+        netdepth=2, netwidth=32, nerf_out_dim=64,
+        N_vocab=8, appearance_wh=(32, 24),
+        encode_a=True, encode_c=True, use_mask=True,
+        encode_random=encode_random,
+        perturb=0.0, noise_std=0.0,
+        optimizer="adam", lr=5e-4, lr_scheduler="cosine",
+        num_epochs=epochs,
+        compute_dtype="float32", use_pallas=False, pallas_train=False,
+        chunk=16384,
+    )
+
+
+def make_data(cfg, seed=0):
+    from crnerf_tpu.data import TrainPipeline, make_synthetic_scene
+
+    scene = make_synthetic_scene(
+        n_train=4, n_test=1, img_wh=(24, 24),
+        appearance_wh=tuple(cfg.appearance_wh), seed=seed,
+    )
+    scene.build_ray_buffers()
+    pipe = TrainPipeline(scene, batch_size=cfg.batch_size, seed_salt=seed)
+    return scene, pipe
+
+
+def batches_for(pipe, epochs: int, steps_per_epoch: int):
+    """Materialize the shared batch stream, each with the reference-side
+    extras (pixel_idx for the mask flat-index, img h/w)."""
+    out = []
+    for e in range(epochs):
+        for i in range(steps_per_epoch):
+            b = pipe.make_batch(e, i)
+            s = pipe.sampler.sample(e, i)
+            w, h = pipe.image_whs[s["image_idx"]]
+            b = dict(b)
+            b["pixel_idx"] = s["pixel_idx"]
+            b["img_wh"] = (int(w), int(h))
+            out.append(b)
+    return out
+
+
+# ------------------------------------------------------------- torch side
+def build_torch_modules(cfg, seed=123):
+    import torch
+
+    install_reference(torch)
+    from models.lightweight_seg import Context_Guided_Network
+    from models.linearStyleTransfer import encoder_sameoutputsize, style_net
+    from models.nerf import NeRF_sigma, PosEmbedding
+
+    class RefArgs:
+        nerf_out_dim = cfg.nerf_out_dim
+        pertubeCord = False
+        img_wh = (cfg.grid_hw, cfg.grid_hw)
+
+    torch.manual_seed(seed)
+    in_xyz = 6 * cfg.N_emb_xyz + 3
+    in_dir = 6 * cfg.N_emb_dir + 3
+    mods = {
+        "nerf_coarse": NeRF_sigma(
+            "coarse", RefArgs, D=cfg.netdepth, W=cfg.netwidth,
+            in_channels_xyz=in_xyz, in_channels_dir=in_dir,
+        ),
+        "nerf_fine": NeRF_sigma(
+            "fine", RefArgs, D=cfg.netdepth, W=cfg.netwidth,
+            in_channels_xyz=in_xyz, in_channels_dir=in_dir,
+            encode_appearance=cfg.encode_a,
+            encode_random=cfg.encode_random,
+        ),
+        "enc_a": encoder_sameoutputsize(out_channel=cfg.nerf_out_dim),
+        "enc_cont": encoder_sameoutputsize(out_channel=cfg.nerf_out_dim),
+        "decoder": style_net(RefArgs),
+        "implicit_mask": Context_Guided_Network(
+            classes=1, M=2, N=2, input_channel=3
+        ),
+    }
+    embeddings = {
+        "xyz": PosEmbedding(cfg.N_emb_xyz - 1, cfg.N_emb_xyz),
+        "dir": PosEmbedding(cfg.N_emb_dir - 1, cfg.N_emb_dir),
+    }
+    return mods, embeddings, RefArgs
+
+
+def run_torch(cfg, mods, embeddings, ref_args, batches,
+              steps_per_epoch: int) -> List[Dict]:
+    """The reference training loop, transcribed from
+    train_mask_grid_sample.py:268-337 + forward:151-226 + decode:127-149,
+    utils get_optimizer/get_scheduler (Adam eps=1e-8, per-epoch cosine
+    eta_min=1e-8)."""
+    import torch
+    from models.rendering import render_rays_cross_ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ref_losses = __import__("losses")
+
+    class HP:
+        maskrs_max, maskrs_min, maskrs_k = 5e-2, 6e-3, 1e-3
+        maskrd = 0.0
+        weightKL, weightRecA, weightMS = 1e-5, 1e-3, 1e-6
+        weightcontent = 1e-4
+        use_mask = True
+        encode_random = cfg.encode_random
+        mse_on_appearance = False
+        dataset_name = "phototourism"
+
+    loss_fn = ref_losses.CRNeRFLoss(HP())
+    params = []
+    for m in mods.values():
+        params += list(m.parameters())
+    opt = torch.optim.Adam(params, lr=cfg.lr, eps=1e-8)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=cfg.num_epochs, eta_min=1e-8
+    )
+    for m in mods.values():
+        m.train()
+
+    gh = int(math.isqrt(cfg.batch_size))
+    records = []
+    for step, b in enumerate(batches):
+        rays = torch.from_numpy(b["rays"].astype(np.float32))
+        ts = torch.from_numpy(b["ts"].astype(np.int64))
+        rgbs = torch.from_numpy(b["rgbs"].astype(np.float32))
+        whole = torch.from_numpy(
+            b["whole_img"].astype(np.float32)
+        ).permute(0, 3, 1, 2)  # NHWC -> NCHW
+        rgb_idx = torch.from_numpy(b["pixel_idx"].astype(np.int64))
+        w_img, h_img = b["img_wh"]
+
+        kwargs = {"args": ref_args, "H": gh, "W": gh}
+        whole01 = (whole + 1) / 2  # train…py:156
+        kwargs["a_embedded_from_img"] = mods["enc_a"](whole01)
+        pred_mask = mods["implicit_mask"](whole01)
+        pred_mask = torch.nn.functional.interpolate(
+            pred_mask, size=(h_img, w_img), mode="bilinear",
+            align_corners=False,
+        )
+        pred_mask = pred_mask.permute(0, 2, 3, 1).reshape(-1, 1)
+        kwargs["mask_embedded_from_img"] = pred_mask[rgb_idx]
+
+        results = render_rays_cross_ray(
+            {"coarse": mods["nerf_coarse"], "fine": mods["nerf_fine"]},
+            embeddings, rays, ts, cfg.N_samples, False, cfg.perturb,
+            cfg.noise_std, cfg.N_importance, cfg.chunk, False,
+            test_time=False, **kwargs,
+        )
+
+        def decode(feature, style, kind=None):
+            fmap = feature.t().reshape(1, -1, gh, gh)
+            if kind == "content":
+                return mods["decoder"](fmap, None, type="content")
+            return mods["decoder"](fmap, style)
+
+        img_c = decode(results["feature_coarse"],
+                       kwargs["a_embedded_from_img"])
+        results["rgb_coarse"] = img_c.permute(0, 2, 3, 1).reshape(-1, 3)
+        img_f = decode(results["feature_fine"],
+                       kwargs["a_embedded_from_img"])
+        results["rgb_fine_img"] = img_f
+        results["rgb_fine"] = img_f.permute(0, 2, 3, 1).reshape(-1, 3)
+        img_content = decode(results["feature_fine"], None, kind="content")
+        results["rgb_content_img"] = img_content
+        results["out_mask"] = kwargs["mask_embedded_from_img"]
+        results["a_embedded"] = kwargs["a_embedded_from_img"]
+        results["content_with_a_embed"] = mods["enc_cont"](img_f)
+        results["content_wo_a_embed"] = mods["enc_cont"](img_content)
+
+        loss_d, aw = loss_fn(results, rgbs, HP(), step)
+        total = sum(loss_d.values())
+        opt.zero_grad()
+        total.backward()
+        opt.step()
+
+        with torch.no_grad():
+            mse = torch.mean((results["rgb_fine"] - rgbs) ** 2)
+            psnr = -10 * torch.log10(mse)
+        rec = {"step": step, "loss": float(total), "psnr": float(psnr),
+               "lr": opt.param_groups[0]["lr"]}
+        for k, v in loss_d.items():
+            rec[f"loss/{k}"] = float(v)
+        records.append(rec)
+        if (step + 1) % steps_per_epoch == 0:
+            sched.step()
+    return records
+
+
+# --------------------------------------------------------------- jax side
+def run_jax(cfg, variables, batches, steps_per_epoch: int) -> List[Dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from crnerf_tpu.render.system import CrNerfSystem
+    from crnerf_tpu.train.optim import make_optimizer
+    from crnerf_tpu.train.state import TrainState
+    from crnerf_tpu.train.step import make_train_step
+
+    system = CrNerfSystem(cfg)
+    tx, sched = make_optimizer(cfg, iters_per_epoch=steps_per_epoch)
+    state = TrainState.create(
+        variables, tx.init(variables["params"]),
+        n_vocab=cfg.N_vocab, embed_hw=32, embed_c=cfg.nerf_out_dim,
+        rng=jax.random.PRNGKey(0),
+    )
+    step_fn = jax.jit(make_train_step(system, tx, sched))
+    records = []
+    for step, b in enumerate(batches):
+        db = {
+            k: jnp.asarray(v)
+            for k, v in b.items() if k not in ("pixel_idx", "img_wh")
+        }
+        state, m = step_fn(state, db)
+        m = jax.device_get(m)
+        records.append({k: float(v) for k, v in m.items()}
+                       | {"step": step})
+    return records
+
+
+# -------------------------------------------------------------- comparison
+def compare(ref: List[Dict], ours: List[Dict], keys=None):
+    """-> dict of trajectory stats per metric key."""
+    keys = keys or [k for k in ref[0] if k != "step"]
+    out = {}
+    for k in keys:
+        a = np.asarray([r[k] for r in ref])
+        b = np.asarray([r.get(k, np.nan) for r in ours])
+        if np.isnan(b).any():
+            continue
+        denom = np.maximum(np.abs(a), 1e-8)
+        out[k] = {
+            "ref_final": float(a[-1]),
+            "ours_final": float(b[-1]),
+            "max_rel": float(np.max(np.abs(a - b) / denom)),
+            "mean_rel": float(np.mean(np.abs(a - b) / denom)),
+        }
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--steps_per_epoch", type=int, default=40)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:  # backend already initialized
+        pass
+    if jax.default_backend() != "cpu":  # pragma: no cover
+        raise SystemExit("run with JAX on CPU (torch side is CPU)")
+    import torch
+
+    torch.manual_seed(7)
+    cfg = build_cfg(args.epochs)
+    scene, pipe = make_data(cfg, seed=args.seed)
+    batches = batches_for(pipe, args.epochs, args.steps_per_epoch)
+
+    mods, embeddings, ref_args = build_torch_modules(cfg)
+    sd = {}
+    for prefix, m in mods.items():
+        for k, v in m.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    from crnerf_tpu.utils.torch_port import convert_state_dict
+
+    params, stats = convert_state_dict(sd, netdepth=cfg.netdepth)
+    # _n() returns numpy VIEWS of the torch tensors, which the torch run
+    # then mutates in place — snapshot the t=0 weights
+    variables = jax.tree.map(
+        np.array, {"params": params, "batch_stats": stats}
+    )
+
+    print(f"running torch reference trainer ({len(batches)} steps)...")
+    ref = run_torch(cfg, mods, embeddings, ref_args, batches,
+                    args.steps_per_epoch)
+    print("running crnerf_tpu trainer...")
+    ours = run_jax(cfg, variables, batches, args.steps_per_epoch)
+
+    stats = compare(ref, ours)
+    print(f"\n{'metric':<22}{'ref final':>12}{'ours final':>12}"
+          f"{'max rel':>10}{'mean rel':>10}")
+    for k, s in stats.items():
+        print(f"{k:<22}{s['ref_final']:>12.6f}{s['ours_final']:>12.6f}"
+              f"{s['max_rel']:>10.4f}{s['mean_rel']:>10.4f}")
+    dpsnr = abs(stats["psnr"]["ref_final"] - stats["psnr"]["ours_final"])
+    print(f"\nfinal PSNR delta: {dpsnr:.3f} dB over {len(batches)} steps")
+    return ref, ours, stats
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""SYSTEM-level convergence parity vs the actual reference trainer.
+
+tests/test_parity.py proves each module's math; this drives the reference's
+composed training loop (render_rays_cross_ray + decode + CRNeRFLoss +
+Adam/per-epoch-cosine, /root/reference/train_mask_grid_sample.py:268-337)
+and the crnerf_tpu trainer on IDENTICAL batches from IDENTICAL ported
+initial weights, and requires the loss-term and PSNR trajectories to track.
+
+Full-run numbers (300 steps, scripts/convergence_parity.py, 2026-08-17):
+final PSNR delta 0.036 dB, mean rel loss diff 0.8%, max 4.3% — recorded in
+BASELINE.md. This test runs a 60-step version of the same harness.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    ),
+)
+
+import convergence_parity as cp  # noqa: E402
+
+
+@pytest.mark.slow
+def test_trainer_trajectories_track_reference():
+    torch.manual_seed(7)
+    epochs, steps_per_epoch = 2, 30
+    cfg = cp.build_cfg(epochs)
+    scene, pipe = cp.make_data(cfg, seed=0)
+    batches = cp.batches_for(pipe, epochs, steps_per_epoch)
+
+    mods, embeddings, ref_args = cp.build_torch_modules(cfg)
+    sd = {}
+    for prefix, m in mods.items():
+        for k, v in m.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    import jax
+
+    from crnerf_tpu.utils.torch_port import convert_state_dict
+
+    params, stats = convert_state_dict(sd, netdepth=cfg.netdepth)
+    variables = jax.tree.map(
+        np.array, {"params": params, "batch_stats": stats}
+    )
+
+    ref = cp.run_torch(cfg, mods, embeddings, ref_args, batches,
+                       steps_per_epoch)
+    ours = cp.run_jax(cfg, variables, batches, steps_per_epoch)
+
+    stats_d = cp.compare(ref, ours)
+    # identical loss-term family must be present on both sides
+    ref_terms = {k for k in ref[0] if k.startswith("loss/")}
+    our_terms = {k for k in ours[0] if k.startswith("loss/")}
+    assert ref_terms == our_terms
+
+    # trajectory bounds: full-run (300-step) measurement was mean 0.8% /
+    # max 4.3% on the total loss and 0.036 dB final PSNR; give 2-3x slack
+    assert stats_d["loss"]["mean_rel"] < 0.03, stats_d["loss"]
+    assert stats_d["loss"]["max_rel"] < 0.12, stats_d["loss"]
+    dpsnr = abs(
+        stats_d["psnr"]["ref_final"] - stats_d["psnr"]["ours_final"]
+    )
+    assert dpsnr < 0.3, stats_d["psnr"]
+    # per-epoch cosine schedule matches exactly
+    assert stats_d["lr"]["max_rel"] < 1e-6
