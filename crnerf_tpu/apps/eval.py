@@ -84,12 +84,21 @@ def run(cfg: Config) -> str:
         key = resolve_scene(cfg.scene_name)
         spec = PATH_PRESETS[key]
         train_imgs = scene.train_images
-        anchor = train_imgs[
-            min(spec.appearance_train_idx or 0, len(train_imgs) - 1)
-        ]
         style = train_imgs[
             min(spec.appearance_train_idx or 0, len(train_imgs) - 1)
         ]
+        # pose anchor: a different image than the appearance source for
+        # brandenburg (image id 1123) and sacre (train idx 99) —
+        # eval.py:178,258; falls back to the style image on scenes that
+        # lack the referenced id (e.g. the synthetic fixture)
+        anchor = style
+        if spec.pose_image_id is not None:
+            by_id = [im for im in train_imgs if im.id == spec.pose_image_id]
+            if by_id:
+                anchor = by_id[0]
+        elif spec.pose_train_idx is not None:
+            if spec.pose_train_idx < len(train_imgs):
+                anchor = train_imgs[spec.pose_train_idx]
         near, far = anchor.near, anchor.far
         frames = []
         w, h = tuple(cfg.img_wh)

@@ -57,6 +57,12 @@ class PathSpec:
     theta_z: Sequence[Segment] = ()
     n_frames: int = 240  # 30 fps x 8 s in the reference demos
     appearance_train_idx: Optional[int] = None  # appearance-source image
+    # Pose anchor: the reference anchors the path on a DIFFERENT image than
+    # the appearance source for brandenburg (poses_dict[1123] — an image ID,
+    # eval.py:178) and sacre (img_ids_train[99], eval.py:258); trevi anchors
+    # on the appearance image itself (eval.py:220).
+    pose_image_id: Optional[int] = None    # direct image id (poses_dict key)
+    pose_train_idx: Optional[int] = None   # index into img_ids_train
 
     def poses(self, anchor_c2w: np.ndarray) -> np.ndarray:
         """(n_frames, 3, 4) camera path around the anchor pose."""
@@ -96,12 +102,17 @@ _PI = math.pi
 
 PATH_PRESETS: Dict[str, PathSpec] = {
     "brandenburg_gate": PathSpec(
-        dx=[(-0.25, 0.25, 2 / 3), (0.25, 0.38, 1 / 3)],
+        # The reference builds dx as concat(linspace(-0.25, 0.25, 240),
+        # linspace(0.25, 0.38, 120)) — 360 entries — but only frames
+        # 0..239 are ever rendered (eval.py:157-160), so the EFFECTIVE
+        # path consumes just the first linspace. Reproduced as-consumed.
+        dx=[(-0.25, 0.25, 1.0)],
         dy=[(0.05, -0.1, 0.5), (-0.1, 0.05, 0.5)],
         dz=[(0.1, 0.3, 0.5), (0.3, 0.1, 0.5)],
         theta_x=[(_PI / 30, 0.0, 0.5), (0.0, _PI / 30, 0.5)],
         theta_y=[(_PI / 10, -_PI / 10, 1.0)],
         appearance_train_idx=314,
+        pose_image_id=1123,
     ),
     "trevi_fountain": PathSpec(
         dx=[(-0.8, 0.7, 1.0)],
@@ -110,6 +121,7 @@ PATH_PRESETS: Dict[str, PathSpec] = {
             (0.5, 0.1, 0.25), (0.1, 0.4, 0.25)],
         theta_y=[(_PI / 6, -_PI / 6, 1.0)],
         appearance_train_idx=1548,
+        pose_train_idx=1548,
     ),
     "sacre_coeur": PathSpec(
         dx=[(-2.0, 2.0, 1.0)],
@@ -117,6 +129,7 @@ PATH_PRESETS: Dict[str, PathSpec] = {
         dz=[(0.0, -3.0, 0.5), (-3.0, 0.0, 0.5)],
         theta_y=[(_PI / 6, -_PI / 6, 1.0)],
         appearance_train_idx=58,
+        pose_train_idx=99,
     ),
 }
 

@@ -96,6 +96,88 @@ class TestCameraPath:
         np.testing.assert_allclose(rays[0][:, 6], 0.0)
         np.testing.assert_allclose(rays[0][:, 7], 5.0)
 
+    @staticmethod
+    def _ref_path(anchor, dx, dy, dz, tx, ty, tz):
+        """Direct transcription of the reference pose loop
+        (eval.py:177-183 and twins): translation offsets then a euler
+        left-multiply of the rotation block."""
+        from crnerf_tpu.render.camera_path import euler_to_rotmat
+
+        n = len(ty)
+        poses = np.tile(np.asarray(anchor, np.float64), (n, 1, 1))
+        for i in range(n):
+            poses[i, 0, 3] += dx[i]
+            poses[i, 1, 3] += dy[i]
+            poses[i, 2, 3] += dz[i]
+            poses[i, :, :3] = np.dot(
+                euler_to_rotmat([tx[i], ty[i], tz[i]]), poses[i, :, :3]
+            )
+        return poses
+
+    def test_presets_match_reference_arrays(self):
+        """PATH_PRESETS must reproduce the reference's EFFECTIVE pose
+        sequences (eval.py:156-268) to 1e-6, including the brandenburg
+        quirk: its dx concat is 360 long but only the first N_frames=240
+        entries are consumed, so the second segment never renders."""
+        from crnerf_tpu.render.camera_path import DEMO_ANCHORS, PATH_PRESETS
+
+        N = 240
+        pi = np.pi
+        anchor = DEMO_ANCHORS["brandenburg_gate"]
+
+        # --- brandenburg (eval.py:156-183)
+        dx = np.concatenate([
+            np.linspace(-0.25, 0.25, N),
+            np.linspace(0.25, 0.38, N - N // 2),
+        ])[:N]
+        dy = np.concatenate([np.linspace(0.05, -0.1, N // 2),
+                             np.linspace(-0.1, 0.05, N - N // 2)])
+        dz = np.concatenate([np.linspace(0.1, 0.3, N // 2),
+                             np.linspace(0.3, 0.1, N - N // 2)])
+        tx = np.concatenate([np.linspace(pi / 30, 0, N // 2),
+                             np.linspace(0, pi / 30, N - N // 2)])
+        ty = np.linspace(pi / 10, -pi / 10, N)
+        tz = np.zeros(N)
+        ref = self._ref_path(anchor, dx, dy, dz, tx, ty, tz)
+        ours = PATH_PRESETS["brandenburg_gate"].poses(anchor)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+        # --- sacre coeur (eval.py:233-268)
+        dx = np.linspace(-2, 2, N)
+        dy = np.concatenate([np.linspace(-0.0, 2, N // 2),
+                             np.linspace(2, -0.0, N - N // 2)])
+        dz = np.concatenate([np.linspace(0, -3, N // 2),
+                             np.linspace(-3, 0, N - N // 2)])
+        tx = np.zeros(N)
+        ty = np.linspace(pi / 6, -pi / 6, N)
+        ref = self._ref_path(anchor, dx, dy, dz, tx, ty, tz)
+        ours = PATH_PRESETS["sacre_coeur"].poses(anchor)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+        # --- trevi (eval.py:199-226)
+        dx = np.linspace(-0.8, 0.7, N)
+        dy = np.concatenate([np.linspace(-0.0, 0.05, N // 2),
+                             np.linspace(0.05, -0.0, N - N // 2)])
+        dz = np.concatenate([
+            np.linspace(0.4, 0.1, N // 4), np.linspace(0.1, 0.5, N // 4),
+            np.linspace(0.5, 0.1, N // 4),
+            np.linspace(0.1, 0.4, N - 3 * (N // 4)),
+        ])
+        ref = self._ref_path(anchor, dx, dy, dz, tx, ty, tz)
+        ours = PATH_PRESETS["trevi_fountain"].poses(anchor)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_pose_anchor_ids(self):
+        """Anchor/appearance split mirrors eval.py:178,226,258."""
+        from crnerf_tpu.render.camera_path import PATH_PRESETS
+
+        b = PATH_PRESETS["brandenburg_gate"]
+        assert (b.appearance_train_idx, b.pose_image_id) == (314, 1123)
+        s = PATH_PRESETS["sacre_coeur"]
+        assert (s.appearance_train_idx, s.pose_train_idx) == (58, 99)
+        t = PATH_PRESETS["trevi_fountain"]
+        assert (t.appearance_train_idx, t.pose_train_idx) == (1548, 1548)
+
 
 class TestMetricProtocol:
     def test_right_half_only(self):
