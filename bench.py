@@ -82,7 +82,9 @@ def main():
         embed_c=cfg.nerf_out_dim,
         rng=jax.random.PRNGKey(1),
     )
-    train_step = make_train_step(system, tx, sched, grids_per_step=grids)
+    train_step = make_train_step(
+        system, tx, sched, grids_per_step=grids,
+        grad_accum_chunks=max(1, cfg.grad_accum_chunks))
 
     staged = {
         k: jnp.stack(

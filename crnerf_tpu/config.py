@@ -113,6 +113,15 @@ class Config:
     # the fused kernels run (pallas_train / use_pallas).
     pallas_interpret: bool = False  # run Pallas routes via the interpreter
     # on CPU (test/CI coverage of the TPU code path)
+    pallas_stash: bool = False  # stash-activations backward for the fused
+    # render kernel: fwd writes trunk acts (+ encode) at compute_dtype,
+    # bwd consumes them instead of recomputing the forward (3x -> ~2.05x
+    # fwd FLOPs). HBM cost ~(L+1.5)*W values/point over one pass's
+    # fwd->bwd lifetime; pair with grad_accum_chunks at large G.
+    grad_accum_chunks: int = 1  # split the G grids into this many
+    # sequential gradient-accumulation chunks (lax.scan) — bounds the
+    # live activation/stash memory to G/chunks grids; grads/metrics are
+    # chunk-means averaged, numerically == the vmapped step (fp order)
     fast_sincos: bool = True  # double-angle recurrence for the posenc
     # sin/cos sweep on the fused bf16 path (~F x fewer transcendentals;
     # error ~2^F * 1e-7 ~= 1.6e-3 at F=15, below bf16 quantization).
@@ -179,7 +188,8 @@ _BOOL_FIELDS = {
     "use_cache", "testit", "use_disp", "pertube_cord", "use_residual",
     "encode_a", "encode_c", "encode_random", "use_mask", "mse_on_appearance",
     "use_pallas", "pallas_train", "pallas_render", "pallas_interpret",
-    "fast_sincos", "remat", "donate_state", "profile", "use_wandb",
+    "pallas_stash", "fast_sincos", "remat", "donate_state", "profile",
+    "use_wandb",
 }
 
 

@@ -301,14 +301,26 @@ def _mlp_fwd(enc_mm, nxt, n_layers, skips, dt, keep_acts: bool,
     return layers, acts, z_sig, hf, dd, feat
 
 
+# ----------------------------------------------------------- stash layout
+def _stash_cols(n_layers: int, width: int, half: int) -> int:
+    """bf16 activation-stash columns: trunk acts + hf + dd (all exactly the
+    bf16 values the forward used, so the stash backward bit-matches the
+    recompute backward)."""
+    return n_layers * width + width + half
+
+
 # ---------------------------------------------------------------- kernels
 def _make_render_fwd_kernel(n_layers, skips, c_out, compute_dtype,
                             r_tile, s, n_emb_xyz, rays_in,
-                            exact_encode=True):
+                            exact_encode=True, stash=False):
     def kernel(in0_ref, z_ref, noise_ref, dir_ref, *refs):
-        out_ray_ref, w_ref = refs[-3], refs[-2]
+        if stash:
+            out_ray_ref, w_ref, stash_ref, enc_stash_ref = refs[-5:-1]
+            w_refs = refs[:-5]
+        else:
+            out_ray_ref, w_ref = refs[-3], refs[-2]
+            w_refs = refs[:-3]
         scratch = refs[-1]
-        w_refs = refs[:-3]
         widx = 0
 
         def nxt():
@@ -350,10 +362,25 @@ def _make_render_fwd_kernel(n_layers, skips, c_out, compute_dtype,
                 return jnp.dot(enc.astype(dt), w_ref_[:].astype(dt),
                                preferred_element_type=jnp.float32)
 
-        _, _, z_sig, _, _, feat = _mlp_fwd(
+        _, acts, z_sig, hf, dd, feat = _mlp_fwd(
             enc_mm, nxt, n_layers, skips, compute_dtype, keep_acts=False,
             dir_term=dir_term,
         )
+        if stash:
+            # Activation stash consumed by the no-recompute backward:
+            # [acts_0..acts_{L-1} | hf | dd], plus the transposed encode
+            # block in its natural (rows, T) layout. Stored at
+            # compute_dtype — exactly the values the forward's matmuls
+            # consumed, so the stash backward bit-matches recompute.
+            w = acts[0].shape[1]
+            for i, h_ in enumerate(acts):
+                stash_ref[:, i * w:(i + 1) * w] = h_.astype(dt)
+            stash_ref[:, n_layers * w:(n_layers + 1) * w] = hf.astype(dt)
+            half = dd.shape[1]
+            stash_ref[
+                :, (n_layers + 1) * w:(n_layers + 1) * w + half
+            ] = dd.astype(dt)
+            enc_stash_ref[:, :] = enc_t.astype(dt)
         sigma = jax.nn.softplus(z_sig[:, :1])            # (T, 1)
         noise = noise_ref[:, :]
         _, _, _, _, _, weights, w_big = _composite_fwd_math(
@@ -587,6 +614,172 @@ def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
     return kernel
 
 
+def _make_render_bwd_stash_kernel(n_layers, skips, c_out, compute_dtype,
+                                  r_tile, s, n_w):
+    """No-recompute backward: trunk activations + hf + dd arrive from the
+    forward's stash (at compute_dtype — the exact values the forward's
+    matmuls consumed) and the transposed encode from its own stash; only
+    the cheap heads (z_sig, feat ≈ 4% of forward FLOPs) and the lane-wise
+    compositing are recomputed. Bit-matches the recompute backward."""
+
+    def kernel(z_ref, noise_ref, dir_ref, g_ray_ref, g_w_ref, stash_ref,
+               enc_stash_ref, *refs):
+        w_refs = refs[:n_w]
+        d_refs = refs[n_w:]
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for r in d_refs:
+                r[:, :] = jnp.zeros_like(r)
+
+        dt = compute_dtype
+        f32 = jnp.float32
+
+        def mm(a_, w_):
+            return jnp.dot(a_.astype(dt), w_.astype(dt),
+                           preferred_element_type=f32)
+
+        def mm_t(a_, dz):
+            return jax.lax.dot_general(
+                a_.astype(dt), dz.astype(dt),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+        def mm_bt(dz, w_):
+            return jax.lax.dot_general(
+                dz.astype(dt), w_.astype(dt),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+        pairs = list(zip(w_refs, d_refs))  # _prep_wargs order
+        n_trunk_pairs = len(pairs) - 9
+        trunk_pairs = pairs[:n_trunk_pairs]
+        sw, sb = pairs[n_trunk_pairs], pairs[n_trunk_pairs + 1]
+        fw, fb = pairs[n_trunk_pairs + 2], pairs[n_trunk_pairs + 3]
+        wd_h, wd_e, bd = (pairs[n_trunk_pairs + 4],
+                          pairs[n_trunk_pairs + 5],
+                          pairs[n_trunk_pairs + 6])
+        fw2, fb2 = pairs[n_trunk_pairs + 7], pairs[n_trunk_pairs + 8]
+
+        # ---- unpack the stash
+        w = sw[0].shape[0]  # trunk width
+        acts = [
+            stash_ref[:, i * w:(i + 1) * w] for i in range(n_layers)
+        ]
+        hf = stash_ref[:, n_layers * w:(n_layers + 1) * w]
+        half = wd_h[0].shape[1]
+        dd = stash_ref[:, (n_layers + 1) * w:(n_layers + 1) * w + half]
+        enc_t = enc_stash_ref[:, :]
+
+        def enc_grad(pair, dz):
+            pair[1][0:enc_t.shape[0], :] += jax.lax.dot_general(
+                enc_t.astype(dt), dz.astype(dt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+        # ---- recompute the cheap heads from the stash
+        z_sig = jnp.dot(acts[-1].astype(f32), sw[0][:].astype(f32),
+                        preferred_element_type=f32) + sb[0][:]
+        z_feat = mm(dd, fw2[0][:]) + fb2[0][:]
+        feat = jax.nn.sigmoid(z_feat)
+        sigma = jax.nn.softplus(z_sig[:, :1])
+
+        a, b = _ray_masks(r_tile, s, f32)
+        dir_local = dir_ref[:, :]
+        z = z_ref[:, :]
+        noise = noise_ref[:, :]
+        (sigma_rs, deltas, act, alphas, trans, weights,
+         w_big) = _composite_fwd_math(sigma, z, noise, a, b, s)
+
+        # ---- composite backward (identical to the recompute kernel)
+        g_ray = g_ray_ref[:, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, g_ray.shape, 1)
+        dfmap = jnp.where(col < c_out, g_ray, 0.0)
+        ddepth = jnp.sum(
+            jnp.where(col == c_out, g_ray, 0.0), axis=1, keepdims=True
+        )
+        g_ft = jax.lax.dot_general(
+            dfmap.astype(f32), feat.astype(f32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dw_feat = jax.lax.dot_general(
+            g_ft * a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dw = g_w_ref[:, :] + ddepth * z + dw_feat
+        suffix = _reverse_exclusive_cumsum_lanes(weights * dw)
+        one_m = jnp.maximum(1.0 - alphas, 1e-30)
+        dalpha = trans * dw - suffix / one_m
+        dact = dalpha * deltas * jnp.exp(-deltas * act)
+        dsigma_rs = jnp.where(sigma_rs + noise > 0, dact, 0.0)
+        dsigma_col = _rs_to_flat(dsigma_rs, a, b)
+        dfeat = jax.lax.dot_general(
+            w_big, dfmap.astype(f32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+        # ---- MLP backward from stashed activations
+        dz_feat = dfeat * feat * (1.0 - feat)
+        fw2[1][:, :] += mm_t(dd, dz_feat)
+        fb2[1][:, :] += jnp.sum(dz_feat, axis=0, keepdims=True)
+        ddd = mm_bt(dz_feat, fw2[0][:])
+        ddd = jnp.where(dd.astype(f32) > 0, ddd, 0.0)
+
+        wd_h[1][:, :] += mm_t(hf, ddd)
+        ddd_ray = jnp.dot(a, ddd, preferred_element_type=f32)
+        wd_e[1][:, :] += mm_t(dir_local, ddd_ray)
+        bd[1][:, :] += jnp.sum(ddd, axis=0, keepdims=True)
+        dhf = mm_bt(ddd, wd_h[0][:])
+
+        fw[1][:, :] += mm_t(acts[-1], dhf)
+        fb[1][:, :] += jnp.sum(dhf, axis=0, keepdims=True)
+        dh = mm_bt(dhf, fw[0][:])
+
+        dz_sig = dsigma_col * jax.nn.sigmoid(z_sig[:, :1])
+        sig_col = jax.lax.broadcasted_iota(jnp.int32, z_sig.shape, 1)
+        dz_sig_b = jnp.where(
+            sig_col == 0, jnp.broadcast_to(dz_sig, z_sig.shape), 0.0
+        )
+        sw[1][:, :] += mm_t(acts[-1].astype(f32), dz_sig_b)
+        sb[1][:, :] += jnp.sum(dz_sig_b, axis=0, keepdims=True)
+        dh = dh + jax.lax.dot_general(
+            dz_sig_b, sw[0][:].astype(f32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+        for i in range(n_layers - 1, -1, -1):
+            dz = jnp.where(acts[i].astype(f32) > 0, dh, 0.0)
+            base = 2 + 3 * sum(
+                1 for j in range(1, i) if j in skips
+            ) + 2 * sum(1 for j in range(1, i) if j not in skips)
+            if i == 0:
+                w0p, b0p = trunk_pairs[0], trunk_pairs[1]
+                enc_grad(w0p, dz)
+                b0p[1][:, :] += jnp.sum(dz, axis=0, keepdims=True)
+                dh = None
+            elif i in skips:
+                wep, whp, bbp = (trunk_pairs[base], trunk_pairs[base + 1],
+                                 trunk_pairs[base + 2])
+                enc_grad(wep, dz)
+                whp[1][:, :] += mm_t(acts[i - 1], dz)
+                bbp[1][:, :] += jnp.sum(dz, axis=0, keepdims=True)
+                dh = mm_bt(dz, whp[0][:])
+            else:
+                wwp, bbp = trunk_pairs[base], trunk_pairs[base + 1]
+                wwp[1][:, :] += mm_t(acts[i - 1], dz)
+                bbp[1][:, :] += jnp.sum(dz, axis=0, keepdims=True)
+                dh = mm_bt(dz, wwp[0][:])
+
+    return kernel
+
+
 # --------------------------------------------------------------- entry
 def _pad_rays(x, n_pad, n):
     return jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
@@ -717,15 +910,27 @@ def make_fused_render_train(
     interpret: bool = False,
     exact_encode: bool = True,
     rays_in: bool = False,
+    stash: bool = False,
 ):
     """Differentiable fused render: forward = the fused MLP+composite
     kernel; backward = one recompute kernel emitting WEIGHT grads only.
     Cotangents arrive for (ray_block, weights); pos/z/noise/dirs get
     zeros. apply_fn(params, pos, dirs, z_vals, noise): ``pos`` is xyz
     (N,S,3), or per-ray ORIGINS (N,3) when rays_in (the kernel then
-    computes xyz + the encode itself; residuals are per-ray only)."""
+    computes xyz + the encode itself; residuals are per-ray only).
+
+    stash=True (requires rays_in): the forward additionally writes the
+    trunk activations + hf + dd (at compute_dtype) and the transposed
+    encode block to HBM, and the backward consumes them instead of
+    recomputing the forward — backward FLOPs drop from 3x to ~2.05x
+    forward at the cost of ~(L+1.5)*W values/point of HBM traffic, which
+    pipelines under the MXU work. HBM lifetime of the stash spans
+    forward→backward of ONE pass; pair with gradient-accumulation
+    chunking over the grid axis at large G (train/step.py)."""
     if r_tile <= 0:
         r_tile = max(8, 512 // s)  # >= 8: f32 sublane granularity
+    if stash and not rays_in:
+        raise ValueError("stash backward requires the rays-in kernel")
     fwd_kw = dict(n_emb_xyz=n_emb_xyz, n_emb_dir=n_emb_dir, r_tile=r_tile,
                   compute_dtype=compute_dtype, skips=skips,
                   interpret=interpret, exact_encode=exact_encode,
@@ -743,24 +948,51 @@ def make_fused_render_train(
             params, pos, dirs, z_vals, noise, n, s, n_pad, n_emb_xyz,
             n_emb_dir, compute_dtype, exact_encode, rays_in, skips,
         )
-        out = _call_fwd(params, wargs, in0, z_p, no_p, dir_blk, n)
+        out, stashes = _call_fwd(params, wargs, in0, z_p, no_p, dir_blk, n)
         return out, (params, in0, z_p, no_p, dir_blk,
                      jnp.zeros((n, 0), pos.dtype),
-                     jnp.zeros((dirs.shape[0], 0), dirs.dtype))
+                     jnp.zeros((dirs.shape[0], 0), dirs.dtype)) + stashes
 
     def _call_fwd(params, wargs, in0, z_p, no_p, dir_blk, n):
         c_out = params.feat_w.shape[1]
         c_pad = _round_up(c_out + 1, LANE)
         n_pad = z_p.shape[0]
         t = r_tile * s
+        n_layers = len(params.trunk_w)
         kernel = _make_render_fwd_kernel(
-            len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s,
-            n_emb_xyz, rays_in, exact_encode,
+            n_layers, skips, c_out, compute_dtype, r_tile, s,
+            n_emb_xyz, rays_in, exact_encode, stash=stash,
         )
         const = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM
         )
-        out_ray, weights = pl.pallas_call(
+        out_specs = [
+            pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, s), jnp.float32),
+        ]
+        if stash:
+            n_wargs = len(wargs)
+            width = wargs[n_wargs - 9].shape[0]       # sigma weight rows
+            half = wargs[n_wargs - 5].shape[1]        # dir-hidden cols
+            c_s = _stash_cols(n_layers, width, half)
+            e_rows = enc_t_rows(n_emb_xyz)
+            out_specs += [
+                pl.BlockSpec((t, c_s), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((e_rows, t), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct((n_pad * s, c_s), compute_dtype),
+                jax.ShapeDtypeStruct((e_rows, n_pad * s), compute_dtype),
+            ]
+        res = pl.pallas_call(
             kernel,
             grid=(n_pad // r_tile,),
             in_specs=[
@@ -772,25 +1004,20 @@ def make_fused_render_train(
                 pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ] + [const(w.shape) for w in wargs],
-            out_specs=[
-                pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((r_tile, s), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
-                jax.ShapeDtypeStruct((n_pad, s), jnp.float32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((enc_t_rows(n_emb_xyz), t), jnp.float32)
             ],
             interpret=interpret,
         )(in0, z_p, no_p, dir_blk, *wargs)
-        return out_ray[:n], weights[:n]
+        out_ray, weights = res[0], res[1]
+        stashes = tuple(res[2:])
+        return (out_ray[:n], weights[:n]), stashes
 
     def bwd(res, g):
-        params, in0, z_p, no_p, dir_blk, x_proxy, d_proxy = res
+        params, in0, z_p, no_p, dir_blk, x_proxy, d_proxy = res[:7]
+        stashes = res[7:]
         g_ray, g_w = g
         n = x_proxy.shape[0]
         n_pad = z_p.shape[0]
@@ -803,38 +1030,75 @@ def make_fused_render_train(
         wargs = _prep_wargs(params, n_emb_xyz, n_emb_dir, skips,
                             compute_dtype, split_dir=True)
         n_w = len(wargs)
-        kernel = _make_render_bwd_kernel(
-            len(params.trunk_w), skips, c_out, compute_dtype, r_tile, s,
-            n_w, n_emb_xyz, rays_in, exact_encode,
-        )
         const = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM
         )
-        dwargs = pl.pallas_call(
-            kernel,
-            grid=(n_pad // r_tile,),
-            in_specs=[
-                _in0_spec(rays_in, t, in0.shape[-1], r_tile),
-                pl.BlockSpec((r_tile, s), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((r_tile, s), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((r_tile, s), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ] + [const(w.shape) for w in wargs],
-            out_specs=[const(w.shape) for w in wargs],
-            out_shape=[
-                jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wargs
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((enc_t_rows(n_emb_xyz), t), jnp.float32)
-            ],
-            interpret=interpret,
-        )(in0, z_p, no_p, dir_blk, g_ray_p, g_w_p, *wargs)
+        if stash:
+            stash_arr, enc_stash = stashes
+            c_s = stash_arr.shape[1]
+            e_rows = enc_stash.shape[0]
+            kernel = _make_render_bwd_stash_kernel(
+                len(params.trunk_w), skips, c_out, compute_dtype,
+                r_tile, s, n_w,
+            )
+            dwargs = pl.pallas_call(
+                kernel,
+                grid=(n_pad // r_tile,),
+                in_specs=[
+                    pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t, c_s), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((e_rows, t), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ] + [const(w.shape) for w in wargs],
+                out_specs=[const(w.shape) for w in wargs],
+                out_shape=[
+                    jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                    for w in wargs
+                ],
+                interpret=interpret,
+            )(z_p, no_p, dir_blk, g_ray_p, g_w_p, stash_arr, enc_stash,
+              *wargs)
+        else:
+            kernel = _make_render_bwd_kernel(
+                len(params.trunk_w), skips, c_out, compute_dtype, r_tile,
+                s, n_w, n_emb_xyz, rays_in, exact_encode,
+            )
+            dwargs = pl.pallas_call(
+                kernel,
+                grid=(n_pad // r_tile,),
+                in_specs=[
+                    _in0_spec(rays_in, t, in0.shape[-1], r_tile),
+                    pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ] + [const(w.shape) for w in wargs],
+                out_specs=[const(w.shape) for w in wargs],
+                out_shape=[
+                    jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                    for w in wargs
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((enc_t_rows(n_emb_xyz), t), jnp.float32)
+                ],
+                interpret=interpret,
+            )(in0, z_p, no_p, dir_blk, g_ray_p, g_w_p, *wargs)
         dparams = _ungroup_grads(dwargs, params, n_emb_xyz, n_emb_dir,
                                  skips, split_dir=True)
         dpos = (jnp.zeros((n, 3), x_proxy.dtype) if rays_in

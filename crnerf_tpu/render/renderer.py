@@ -137,7 +137,8 @@ def _full_fused_eval(flax_params, xyz, rays_d, z_vals, noise_std,
     )
     if fused.get("train"):
         fn = make_fused_render_train(
-            n_emb_xyz, fused["n_emb_dir"], s=s, **kw
+            n_emb_xyz, fused["n_emb_dir"], s=s,
+            stash=bool(fused.get("stash", False)) and rays_in, **kw
         )
         sg = jax.lax.stop_gradient
         return fn(kp, sg(pos), sg(fused["raw_dirs"]), sg(z_vals),

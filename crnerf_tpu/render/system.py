@@ -200,6 +200,7 @@ class CrNerfSystem:
                 # below the compute stream's own quantization (bf16)
                 "exact_encode": not (cfg.fast_sincos and bf16),
                 "full": cfg.pallas_render,
+                "stash": cfg.pallas_stash and train,
             }
         return dict(
             n_samples=cfg.N_samples,

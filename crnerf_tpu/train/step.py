@@ -49,7 +49,8 @@ def _select_random_embedding(key, state: TrainState):
 
 def make_train_step(system: CrNerfSystem, tx, lr_sched,
                     axis_name: Optional[str] = None,
-                    grids_per_step: int = 1):
+                    grids_per_step: int = 1,
+                    grad_accum_chunks: int = 1):
     """Build the pure train-step function.
 
     ``axis_name`` set -> gradients are psum-averaged and embedding-cache
@@ -62,7 +63,18 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
     fewer chips; practically it is how a single TPU chip gets fed enough
     points to saturate the MXU (1024 rays x 192 samples is far below
     one chip's FLOP capacity).
+
+    ``grad_accum_chunks`` C > 1 -> the G grids are processed as C
+    sequential chunks of G/C (lax.scan) with gradients and metrics
+    accumulated — the same mean up to fp order, while bounding the live
+    activation memory to one chunk (required by the ``pallas_stash``
+    backward, whose HBM stash spans one chunk's forward->backward).
     """
+    if grad_accum_chunks > 1 and grids_per_step % grad_accum_chunks:
+        raise ValueError(
+            f"grad_accum_chunks={grad_accum_chunks} must divide "
+            f"grids_per_step={grids_per_step}"
+        )
     cfg = system.cfg
 
     def one_grid_loss(params, state: TrainState, batch, key, a_rand,
@@ -133,9 +145,65 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
             has_any = has_any[0]  # same cache on every grid
         else:
             a_rand, has_any = _select_random_embedding(ksel, state)
-        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state, batch, kstep, a_rand, has_any
-        )
+        if grad_accum_chunks > 1 and grids_per_step > 1:
+            c = grad_accum_chunks
+            gc = grids_per_step // c
+            keys = jax.random.split(kstep, grids_per_step)
+
+            def chunk_loss(params, batch_c, keys_c, a_rand_c):
+                totals, aux_c = jax.vmap(
+                    one_grid_loss, in_axes=(None, None, 0, 0, 0, None)
+                )(params, state, batch_c, keys_c, a_rand_c, has_any)
+                mean_aux = {
+                    "loss_d": jax.tree.map(jnp.mean, aux_c["loss_d"]),
+                    "aw": jnp.mean(aux_c["aw"]),
+                    "psnr": jnp.mean(aux_c["psnr"]),
+                    "new_bs": None if aux_c["new_bs"] is None else
+                    jax.tree.map(
+                        lambda x: jnp.mean(x, axis=0), aux_c["new_bs"]
+                    ),
+                    "a_embedded": aux_c["a_embedded"],  # (gc, 1, ...)
+                }
+                return jnp.mean(totals), mean_aux
+
+            reshape_c = lambda x: x.reshape(  # noqa: E731
+                c, gc, *x.shape[1:]
+            )
+            batch_r = jax.tree.map(reshape_c, batch)
+            keys_r = keys.reshape(c, gc, *keys.shape[1:])
+            a_rand_r = reshape_c(a_rand)
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+
+            def body(gsum, xs):
+                b_c, k_c, ar_c = xs
+                (tot_c, aux_c), g_c = jax.value_and_grad(
+                    chunk_loss, has_aux=True
+                )(state.params, b_c, k_c, ar_c)
+                gsum = jax.tree.map(lambda a_, b_: a_ + b_, gsum, g_c)
+                return gsum, (tot_c, aux_c)
+
+            gsum, (tots, auxs) = jax.lax.scan(
+                body, zero_g, (batch_r, keys_r, a_rand_r)
+            )
+            grads = jax.tree.map(lambda x: x / c, gsum)
+            total = jnp.mean(tots)
+            aux = {
+                "loss_d": jax.tree.map(jnp.mean, auxs["loss_d"]),
+                "aw": jnp.mean(auxs["aw"]),
+                "psnr": jnp.mean(auxs["psnr"]),
+                "new_bs": None if auxs["new_bs"] is None else
+                jax.tree.map(lambda x: jnp.mean(x, axis=0),
+                             auxs["new_bs"]),
+                "a_embedded": None if auxs["a_embedded"] is None else
+                jax.tree.map(
+                    lambda x: x.reshape(grids_per_step, *x.shape[2:]),
+                    auxs["a_embedded"],
+                ),
+            }
+        else:
+            (total, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state, batch, kstep, a_rand, has_any)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             total = jax.lax.pmean(total, axis_name)

@@ -94,7 +94,8 @@ def main():
     print(f"staged {total} batches, {n_bytes / 1e6:.0f} MB")
 
     step_local = make_train_step(
-        trainer.system, trainer.tx, trainer.lr_sched, grids_per_step=g
+        trainer.system, trainer.tx, trainer.lr_sched, grids_per_step=g,
+        grad_accum_chunks=max(1, trainer.cfg.grad_accum_chunks)
     )
 
     def body(state, x):

@@ -562,6 +562,34 @@ class TestRaysInFusedRender:
         for a_, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ker)):
             np.testing.assert_allclose(np.asarray(b_), np.asarray(a_),
                                        atol=1e-4, rtol=1e-3)
+    def test_stash_backward_bit_matches_recompute(self):
+        """The stash backward (fwd writes trunk acts + encode, bwd skips
+        the forward recompute) must produce BIT-IDENTICAL grads to the
+        recompute backward: the stash holds exactly the compute_dtype
+        values the forward's matmuls consumed."""
+        from crnerf_tpu.ops.fused_render import make_fused_render_train
+
+        p, o, d, z, xyz, noise = self._setup(n=16)
+        kw = dict(s=16, r_tile=8, interpret=True, rays_in=True)
+        f_rec = make_fused_render_train(15, 4, **kw, stash=False)
+        f_sta = make_fused_render_train(15, 4, **kw, stash=True)
+
+        def loss(fn, pp):
+            blk, w = fn(pp, o, d, z, noise)
+            return jnp.sum(blk[:, :17] ** 2) + jnp.sum(w * jnp.cos(w))
+
+        v1, g1 = jax.value_and_grad(lambda q: loss(f_rec, q))(p)
+        v2, g2 = jax.value_and_grad(lambda q: loss(f_sta, q))(p)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        for a_, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+
+    def test_stash_requires_rays_in(self):
+        from crnerf_tpu.ops.fused_render import make_fused_render_train
+
+        with pytest.raises(ValueError, match="rays-in"):
+            make_fused_render_train(15, 4, s=16, stash=True, rays_in=False)
+
     def test_fast_encode_close_to_exact(self):
         """In-kernel anchored recurrence (exact_encode=False) vs exact —
         same error envelope as the stream fast_sincos ladder."""

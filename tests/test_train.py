@@ -512,6 +512,53 @@ class TestGridsPerStep:
             float(np.mean(singles)), rel=1e-5
         )
 
+    def test_grad_accum_chunks_match_vmapped(self):
+        """C-chunked gradient accumulation == the vmapped G step (fp
+        order aside): params, cache, BN stats, metrics."""
+        cfg = Config(**TINY).replace(perturb=0.0)
+        system, tx, sched, state = _setup(cfg)
+        G = 4
+        parts = [_batch(cfg, seed=s) for s in range(G)]
+        for g in range(G):
+            parts[g]["ts"][:] = g
+        batch = {k: np.stack([p[k] for p in parts]) for k in parts[0]}
+        jb = jax.tree.map(jnp.asarray, batch)
+
+        step1 = jax.jit(make_train_step(system, tx, sched,
+                                        grids_per_step=G))
+        s_a, m_a = step1(state, jb)
+        step2 = jax.jit(make_train_step(system, tx, sched,
+                                        grids_per_step=G,
+                                        grad_accum_chunks=2))
+        s_b, m_b = step2(state, jb)
+
+        assert float(m_b["loss"]) == pytest.approx(
+            float(m_a["loss"]), rel=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(s_a.params)),
+            jax.tree.leaves(jax.device_get(s_b.params)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            )
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(s_a.embedding_valid)),
+            np.asarray(jax.device_get(s_b.embedding_valid)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(s_a.embedding_cache)),
+            np.asarray(jax.device_get(s_b.embedding_cache)),
+            rtol=1e-3, atol=1e-5,
+        )
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(s_a.batch_stats)),
+            jax.tree.leaves(jax.device_get(s_b.batch_stats)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            )
+
 
 class TestPallasTrainRoute:
     def test_pallas_train_step_matches_flax(self):
