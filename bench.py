@@ -56,6 +56,11 @@ def main():
             # fused Pallas fwd+bwd beats the XLA path 58.9k vs 51.1k
             # rays/s (2026-08-16); CRNERF_BENCH_XLA=1 to A/B
             pallas_train=not bool(os.environ.get("CRNERF_BENCH_XLA")),
+            # stash backward + chunked grad accumulation (A/B knobs)
+            pallas_stash=bool(int(os.environ.get("CRNERF_BENCH_STASH",
+                                                 "0"))),
+            grad_accum_chunks=int(os.environ.get("CRNERF_BENCH_CHUNKS",
+                                                 "1")),
         )
     else:  # CI fallback so the line always prints
         cfg = Config(

@@ -33,20 +33,29 @@ class GramCNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_mask=None, n_valid=None):
+        """``valid_mask`` (N, H, W, 1) 0/1 with traced pixel count
+        ``n_valid``: gram statistics over the valid pixels only — exact
+        for arbitrarily padded maps since the tower is all 1x1 convs
+        (resolution bucketing, SURVEY.md §7 hard part 1)."""
         n, h, w, _ = x.shape
         dt = self.dtype
         x = leaky_relu(nn.Conv(128, (1, 1), name="conv1", dtype=dt)(x))
         x = leaky_relu(nn.Conv(64, (1, 1), name="conv2", dtype=dt)(x))
         x = nn.Conv(self.matrix_size, (1, 1), name="conv3", dtype=dt)(x)
         x = x.astype(jnp.float32)  # gram + fc in fp32 (transmatrix quality)
-        # gram: (N, C, HW) @ (N, HW, C) / (h*w)
+        if valid_mask is not None:
+            x = x * valid_mask
+            denom = n_valid
+        else:
+            denom = h * w
+        # gram: (N, C, HW) @ (N, HW, C) / n_pixels
         flat = x.reshape(n, h * w, self.matrix_size)
         gram = jnp.einsum(
             "npc,npd->ncd", flat, flat,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        ).astype(x.dtype) / (h * w)
+        ).astype(x.dtype) / denom
         return nn.Dense(self.matrix_size * self.matrix_size, name="fc")(
             gram.reshape(n, -1)
         )
@@ -61,13 +70,25 @@ class StyleTransform(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, content, style, trans: bool = True):
+    def __call__(self, content, style, trans: bool = True,
+                 valid_mask=None, n_valid=None):
         """content: (N, Hc, Wc, C); style: (N, Hs, Ws, C).
-        Returns (fused (N, Hc, Wc, C), transmatrix (N, m, m))."""
+        Returns (fused (N, Hc, Wc, C), transmatrix (N, m, m)).
+
+        ``valid_mask``/``n_valid``: content-map pixels beyond n_valid are
+        padding (resolution bucketing) — the content mean and gram run
+        over valid pixels only; padded outputs are cropped by the caller.
+        Exact: every spatial op here is a 1x1 conv."""
         m = self.matrix_size
         n, ch, cw, c = content.shape
 
-        c_mean = jnp.mean(content, axis=(1, 2), keepdims=True)
+        if valid_mask is not None:
+            c_mean = (
+                jnp.sum(content * valid_mask, axis=(1, 2), keepdims=True)
+                / n_valid
+            )
+        else:
+            c_mean = jnp.mean(content, axis=(1, 2), keepdims=True)
         cF = content - c_mean
         s_mean = jnp.mean(style, axis=(1, 2), keepdims=True)
         sF = style - s_mean
@@ -81,7 +102,9 @@ class StyleTransform(nn.Module):
             return unzip(cc) + c_mean, None
 
         c_mat = GramCNN(m, self.in_channel, name="cnet",
-                        dtype=self.dtype)(cF).reshape(n, m, m)
+                        dtype=self.dtype)(
+            cF, valid_mask=valid_mask, n_valid=n_valid
+        ).reshape(n, m, m)
         s_mat = GramCNN(m, self.in_channel, name="snet",
                         dtype=self.dtype)(sF).reshape(n, m, m)
         transmatrix = jnp.einsum(
@@ -111,7 +134,13 @@ class StyleNet(nn.Module):
 
     @nn.compact
     def __call__(self, content_feature, style_feature=None,
-                 kind: Optional[str] = None):
+                 kind: Optional[str] = None, valid_mask=None,
+                 n_valid=None):
+        if valid_mask is not None and self.n_upsample_blocks > 0:
+            raise ValueError(
+                "bucketed (masked) decode requires the pointwise "
+                "n_blocks=0 decoder"
+            )
         decoder = NeuralRenderer(
             feat_nc=self.nerf_out_dim, out_dim=3,
             n_blocks=self.n_upsample_blocks, name="decoder",
@@ -122,5 +151,6 @@ class StyleNet(nn.Module):
         fused, _ = StyleTransform(
             in_channel=self.nerf_out_dim, name="multi_net",
             dtype=self.dtype,
-        )(content_feature, style_feature)
+        )(content_feature, style_feature, valid_mask=valid_mask,
+          n_valid=n_valid)
         return decoder(fused)

@@ -1,9 +1,20 @@
 """Inference-only renderer: checkpointed variables -> full-frame renders.
 
 Equivalent of the reference's ``batched_inference`` + decode step
-(/root/reference/eval.py:29-59,288-295) as a per-resolution-jitted,
-``lax.map``-tiled XLA program. Used by the eval / video apps and by
-validation.
+(/root/reference/eval.py:29-59,288-295) as a jitted, ``lax.map``-tiled XLA
+program. Used by the eval / video apps and by validation.
+
+Resolution bucketing (SURVEY.md §7 hard part 1, default on): a real
+Phototourism test split has dozens of distinct image shapes, and a
+per-resolution jit means one multi-minute TPU compile per shape. Instead
+rays are padded to power-of-two BUCKETS and the per-pixel decode runs on a
+folded (P/128, 128) map — exact, because every spatial op in the shipped
+decode is a 1x1 conv; the only cross-pixel couplings are the style
+transform's global mean/gram statistics (computed over the valid pixels
+via a mask + traced count, models/style.py) and the mask resize (gathered
+at true pixel centers via ``sample_bilinear_uv`` == interpolate-then-index).
+Rendering any number of image sizes within a 2x pixel-count band costs ONE
+compile. ``--no-eval_bucket`` restores the per-resolution path.
 """
 
 from __future__ import annotations
@@ -15,7 +26,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from crnerf_tpu.config import Config
+from crnerf_tpu.models.common import resize_bilinear, sample_bilinear_uv
 from crnerf_tpu.render.system import CrNerfSystem
+
+_FOLD_W = 128
+_MIN_BUCKET = 4096
+
+
+def bucket_size(n_pix: int) -> int:
+    """Next power of two >= n_pix (floor at one fold row block)."""
+    return max(_MIN_BUCKET, 1 << (int(n_pix) - 1).bit_length())
 
 
 class Renderer:
@@ -24,11 +44,13 @@ class Renderer:
         self.cfg = cfg
         self.system = system or CrNerfSystem(cfg)
         self.variables = variables
-        self._cache: Dict[Tuple[int, int], callable] = {}
+        self._cache: Dict[Tuple, callable] = {}
 
+    # ------------------------------------------------ per-resolution path
     def _fn(self, hw: Tuple[int, int]):
-        if hw in self._cache:
-            return self._cache[hw]
+        key = ("exact", hw)
+        if key in self._cache:
+            return self._cache[key]
         tile = min(self.cfg.chunk, hw[0] * hw[1])
 
         def render(variables, rays, whole_img, key):
@@ -44,9 +66,97 @@ class Renderer:
             return keep
 
         fn = jax.jit(render)
-        self._cache[hw] = fn
+        self._cache[key] = fn
         return fn
 
+    # ----------------------------------------------------- bucketed path
+    def _fn_bucketed(self, p: int):
+        key = ("bucket", p)
+        if key in self._cache:
+            return self._cache[key]
+        cfg = self.cfg
+        system = self.system
+        tile = min(cfg.chunk, p)
+        fold_hw = (p // _FOLD_W, _FOLD_W)
+
+        def render(variables, rays, whole_img, uv, n_valid, key):
+            params = variables["params"]
+            results: Dict[str, jax.Array] = {}
+
+            a_embedded = None
+            if cfg.encode_a:
+                whole01 = (whole_img + 1.0) / 2.0
+                a_embedded = system.encode_appearance(params, whole01)
+            if cfg.use_mask:
+                whole01_m = (whole_img + 1.0) / 2.0
+                mask_small, _ = system.predict_mask(
+                    variables, whole01_m, train=False
+                )
+                results["out_mask"] = sample_bilinear_uv(
+                    mask_small[0], uv
+                )
+
+            from crnerf_tpu.render.renderer import render_rays_tiled
+
+            apply_fine = (
+                system._apply_fine if system.m.fine is not None else None
+            )
+            ray_params = {
+                "coarse": params["nerf_coarse"],
+                "fine": params.get("nerf_fine"),
+            }
+            rr = render_rays_tiled(
+                system._apply_coarse, apply_fine, ray_params, rays, key,
+                tile=tile, **system._render_kw(train=False),
+            )
+
+            vmask = (
+                jnp.arange(p) < n_valid
+            ).reshape(1, *fold_hw, 1).astype(jnp.float32)
+
+            def decode(feature_flat):
+                fmap = feature_flat.reshape(1, *fold_hw, -1)
+                if cfg.encode_a:
+                    return system.m.decoder.apply(
+                        {"params": params["decoder"]}, fmap, a_embedded,
+                        valid_mask=vmask, n_valid=n_valid,
+                    ).reshape(-1, 3)
+                return system.m.decoder.apply(
+                    {"params": params["decoder"]}, fmap
+                ).reshape(-1, 3)
+
+            results["rgb_coarse"] = decode(rr["feature_coarse"])
+            results["depth_coarse"] = rr["depth_coarse"]
+            if cfg.N_importance > 0:
+                results["rgb_fine"] = decode(rr["feature_fine"])
+                results["depth_fine"] = rr["depth_fine"]
+            return results
+
+        fn = jax.jit(render)
+        self._cache[key] = fn
+        return fn
+
+    def _render_bucketed(self, rays, whole_img, hw, key):
+        h, w = hw
+        n_pix = h * w
+        p = bucket_size(n_pix)
+        rays = np.asarray(rays)
+        rays_p = np.pad(rays, ((0, p - n_pix), (0, 0)), mode="edge")
+        vv, uu = np.meshgrid(
+            (np.arange(h) + 0.5) / h, (np.arange(w) + 0.5) / w,
+            indexing="ij",
+        )
+        uv = np.stack([vv.reshape(-1), uu.reshape(-1)], -1).astype(
+            np.float32
+        )
+        uv_p = np.pad(uv, ((0, p - n_pix), (0, 0)), mode="edge")
+        out = self._fn_bucketed(p)(
+            self.variables, jnp.asarray(rays_p), jnp.asarray(whole_img),
+            jnp.asarray(uv_p), jnp.int32(n_pix), key,
+        )
+        return jax.tree.map(lambda x: np.asarray(x)[:n_pix], out)
+
+    # ------------------------------------------------------------- entry
     def render_frame(
         self,
         rays: np.ndarray,           # (h*w, 8)
@@ -55,13 +165,16 @@ class Renderer:
         key: Optional[jax.Array] = None,
     ) -> Dict[str, np.ndarray]:
         h, w = hw
-        out = self._fn(hw)(
-            self.variables,
-            jnp.asarray(rays),
-            jnp.asarray(whole_img),
-            key if key is not None else jax.random.PRNGKey(0),
-        )
-        out = jax.device_get(out)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if getattr(self.cfg, "eval_bucket", True):
+            out = self._render_bucketed(rays, whole_img, hw, key)
+        else:
+            out = jax.device_get(
+                self._fn(hw)(
+                    self.variables, jnp.asarray(rays),
+                    jnp.asarray(whole_img), key,
+                )
+            )
         typ = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"
         res = {
             "rgb": np.asarray(out[typ]).reshape(h, w, 3),
