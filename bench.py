@@ -118,6 +118,26 @@ def main():
     run_k = jax.jit(lambda s: run_steps(s, K_STEPS))
     run_2k = jax.jit(lambda s: run_steps(s, 2 * K_STEPS))
 
+    # Analytic model FLOPs (XLA cost analysis cannot see inside the Pallas
+    # custom calls): MLP matmul MACs x 2, per point, coarse + fine passes.
+    # Backward multiplier: 2x fwd for the grad matmuls, +1x recompute
+    # unless the stash backward is on (ops/fused_render.py).
+    def _mlp_flops_per_point(tree):
+        return 2.0 * float(sum(
+            np.asarray(v).size
+            for k, v in jax.tree_util.tree_leaves_with_path(tree)
+            if "kernel" in str(k[-1])
+        ))
+
+    fwd_pp_c = _mlp_flops_per_point(variables["params"]["nerf_coarse"])
+    fwd_pp_f = _mlp_flops_per_point(
+        variables["params"].get("nerf_fine", {})
+    )
+    pts_c = cfg.batch_size * grids * cfg.N_samples
+    pts_f = cfg.batch_size * grids * (cfg.N_samples + cfg.N_importance)
+    bwd_mult = 3.05 if cfg.pallas_stash else 4.0
+    step_flops = bwd_mult * (pts_c * fwd_pp_c + pts_f * fwd_pp_f)
+
     float(run_k(state))   # warm both compiles + force execution
     float(run_2k(state))
     t0 = time.perf_counter()
@@ -129,11 +149,15 @@ def main():
 
     per_step = max(t_2k - t_k, 1e-9) / K_STEPS
     rays_per_sec = cfg.batch_size * grids / per_step
+    tflops = step_flops / per_step / 1e12
+    peak = 172.5 if on_tpu else 0.0  # measured v5e bf16 (BASELINE.md)
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "tflops": round(tflops, 1),
+        "mfu": round(tflops / peak, 3) if peak else None,
     }))
 
 
