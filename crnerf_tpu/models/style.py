@@ -132,7 +132,17 @@ class StyleNet(nn.Module):
     n_upsample_blocks: int = 0  # log2(img/featmap); 0 in the shipped config
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.multi_net = StyleTransform(
+            in_channel=self.nerf_out_dim, name="multi_net",
+            dtype=self.dtype,
+        )
+        self.decoder = NeuralRenderer(
+            feat_nc=self.nerf_out_dim, out_dim=3,
+            n_blocks=self.n_upsample_blocks, name="decoder",
+            dtype=self.dtype,
+        )
+
     def __call__(self, content_feature, style_feature=None,
                  kind: Optional[str] = None, valid_mask=None,
                  n_valid=None):
@@ -141,16 +151,25 @@ class StyleNet(nn.Module):
                 "bucketed (masked) decode requires the pointwise "
                 "n_blocks=0 decoder"
             )
-        decoder = NeuralRenderer(
-            feat_nc=self.nerf_out_dim, out_dim=3,
-            n_blocks=self.n_upsample_blocks, name="decoder",
-            dtype=self.dtype,
-        )
         if style_feature is None and kind == "content":
-            return decoder(content_feature)
-        fused, _ = StyleTransform(
-            in_channel=self.nerf_out_dim, name="multi_net",
-            dtype=self.dtype,
-        )(content_feature, style_feature, valid_mask=valid_mask,
-          n_valid=n_valid)
-        return decoder(fused)
+            return self.decoder(content_feature)
+        fused, _ = self.multi_net(
+            content_feature, style_feature, valid_mask=valid_mask,
+            n_valid=n_valid,
+        )
+        return self.decoder(fused)
+
+    def decode_batch(self, contents, styles, raw_extra=None):
+        """Batched decode: ``contents`` (K, H, W, C) styled by ``styles``
+        (K, 32, 32, C) in ONE StyleTransform + decoder pass, with
+        ``raw_extra`` (M, H, W, C) appended un-styled (the content-
+        constraint path). Returns (K+M, H, W, 3). Numerically identical
+        to K+M separate ``__call__``s — per-sample convs/grams are
+        batch-independent — with one launch per conv instead of K+M
+        (the train step's decode long-tail, BASELINE.md)."""
+        fused, _ = self.multi_net(contents, styles)
+        dec_in = (
+            fused if raw_extra is None
+            else jnp.concatenate([fused, raw_extra], axis=0)
+        )
+        return self.decoder(dec_in)

@@ -284,33 +284,66 @@ class CrNerfSystem:
         results.update(rr)
 
         # ---- decode heads (train…py:205-224)
-        rgb_coarse_img = self.decode(
-            params, rr["feature_coarse"], hw, a_embedded
-        )
-        results["rgb_coarse"] = rgb_coarse_img.reshape(-1, 3)
-        if cfg.N_importance > 0:
-            rgb_fine_img = self.decode(
-                params, rr["feature_fine"], hw, a_embedded
+        h, w = hw
+        has_fine = cfg.N_importance > 0
+        do_random = (cfg.encode_a and cfg.encode_random
+                     and a_embedded_random is not None)
+        if do_random and random_has_any is not None:
+            a_embedded_random = jnp.where(
+                random_has_any,
+                a_embedded_random.astype(a_embedded.dtype),
+                a_embedded,
             )
+
+        if cfg.encode_a and has_fine:
+            # ONE batched StyleTransform+decoder pass over every styled
+            # map (+ the raw content map) — identical math, one launch
+            # per conv instead of up to four (train-step decode long
+            # tail, BASELINE.md)
+            fc_map = rr["feature_coarse"].reshape(1, h, w, -1)
+            ff_map = rr["feature_fine"].reshape(1, h, w, -1)
+            maps = [fc_map, ff_map]
+            styles = [a_embedded, a_embedded]
+            if do_random:
+                maps.append(ff_map)
+                styles.append(a_embedded_random)
+            raw = ff_map if cfg.encode_c else None
+            imgs = self.m.decoder.apply(
+                {"params": params["decoder"]},
+                jnp.concatenate(maps, 0), jnp.concatenate(styles, 0),
+                raw, method="decode_batch",
+            )
+            rgb_coarse_img = imgs[0:1]
+            rgb_fine_img = imgs[1:2]
+            results["rgb_coarse"] = rgb_coarse_img.reshape(-1, 3)
             results["rgb_fine_img"] = rgb_fine_img
             results["rgb_fine"] = rgb_fine_img.reshape(-1, 3)
-        if cfg.encode_c:
-            rgb_content_img = self.decode(
-                params, rr["feature_fine"], hw, None, kind="content"
+            if do_random:
+                rgb_rand_img = imgs[2:3]
+            if cfg.encode_c:
+                results["rgb_content_img"] = imgs[-1:]
+        else:
+            rgb_coarse_img = self.decode(
+                params, rr["feature_coarse"], hw, a_embedded
             )
-            results["rgb_content_img"] = rgb_content_img
-
-        if cfg.encode_a and cfg.encode_random and a_embedded_random is not None:
-            if random_has_any is not None:
-                a_embedded_random = jnp.where(
-                    random_has_any,
-                    a_embedded_random.astype(a_embedded.dtype),
-                    a_embedded,
+            results["rgb_coarse"] = rgb_coarse_img.reshape(-1, 3)
+            if has_fine:
+                rgb_fine_img = self.decode(
+                    params, rr["feature_fine"], hw, a_embedded
                 )
+                results["rgb_fine_img"] = rgb_fine_img
+                results["rgb_fine"] = rgb_fine_img.reshape(-1, 3)
+            if cfg.encode_c and has_fine:
+                results["rgb_content_img"] = self.decode(
+                    params, rr["feature_fine"], hw, None, kind="content"
+                )
+            if do_random and has_fine:
+                rgb_rand_img = self.decode(
+                    params, rr["feature_fine"], hw, a_embedded_random
+                )
+
+        if do_random and has_fine:
             results["a_embedded_random"] = a_embedded_random
-            rgb_rand_img = self.decode(
-                params, rr["feature_fine"], hw, a_embedded_random
-            )
             # re-encode the random-styled render; constrain to the chosen
             # embedding (train…py:219)
             results["a_embedded_random_rec"] = self.m.enc_a.apply(
@@ -318,16 +351,17 @@ class CrNerfSystem:
             )
             results["rgb_fine_random"] = rgb_rand_img.reshape(-1, 3)
 
-        if cfg.encode_c:
-            enc_cont_apply = lambda img: self.m.enc_cont.apply(  # noqa: E731
-                {"params": params["enc_cont"]}, img
+        if cfg.encode_c and has_fine:
+            # both content embeddings in one batched encoder pass
+            both = self.m.enc_cont.apply(
+                {"params": params["enc_cont"]},
+                jnp.concatenate(
+                    [results["rgb_fine_img"], results["rgb_content_img"]],
+                    axis=0,
+                ),
             )
-            results["content_with_a_embed"] = enc_cont_apply(
-                results["rgb_fine_img"]
-            )
-            results["content_wo_a_embed"] = enc_cont_apply(
-                results["rgb_content_img"]
-            )
+            results["content_with_a_embed"] = both[0:1]
+            results["content_wo_a_embed"] = both[1:2]
 
         return results, new_bs
 
