@@ -227,6 +227,7 @@ class CrNerfSystem:
         train: bool = True,
         tile: Optional[int] = None,
         image_hw: Optional[Tuple[int, int]] = None,
+        precomputed_heads: Optional[Tuple] = None,
     ):
         """The cross-ray forward pass (train…py:151-226).
 
@@ -240,6 +241,13 @@ class CrNerfSystem:
         gradient, matching the reference's warm-up behavior
         (train…py:163-164).
 
+        precomputed_heads: optional ``(a_embedded (1,32,32,C) or None,
+        mask_small (1,Ha,Wa,1) or None)`` computed OUTSIDE (the chunked
+        train step hoists enc_a + CGNet out of its grad-accumulation
+        scan, batched over all grids, and feeds them here; gradients
+        reach the head params through these inputs' cotangents —
+        train/step.py).
+
         Returns (results dict, new_batch_stats or None).
         """
         cfg = self.cfg
@@ -247,16 +255,28 @@ class CrNerfSystem:
         results: Dict[str, Any] = {}
         new_bs = None
         hw = image_hw if image_hw is not None else (cfg.grid_hw, cfg.grid_hw)
+        pre_a, pre_mask = (
+            precomputed_heads if precomputed_heads is not None
+            else (None, None)
+        )
 
         a_embedded = None
         if cfg.encode_a:
-            whole01 = (batch["whole_img"] + 1.0) / 2.0  # train…py:156
-            a_embedded = self.encode_appearance(params, whole01)
+            if pre_a is not None:
+                a_embedded = pre_a
+            else:
+                whole01 = (batch["whole_img"] + 1.0) / 2.0  # train…py:156
+                a_embedded = self.encode_appearance(params, whole01)
             results["a_embedded"] = a_embedded
 
         if cfg.use_mask:
-            whole01_m = (batch["whole_img"] + 1.0) / 2.0
-            mask_small, new_bs = self.predict_mask(variables, whole01_m, train)
+            if pre_mask is not None:
+                mask_small = pre_mask
+            else:
+                whole01_m = (batch["whole_img"] + 1.0) / 2.0
+                mask_small, new_bs = self.predict_mask(
+                    variables, whole01_m, train
+                )
             if train:
                 # gather mask at sampled pixel centers (== interpolate to
                 # full res then flat-index, see models/common.py)

@@ -78,7 +78,7 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
     cfg = system.cfg
 
     def one_grid_loss(params, state: TrainState, batch, key, a_rand,
-                      has_any):
+                      has_any, heads=None):
         variables = {"params": params, "batch_stats": state.batch_stats}
         kf, = jax.random.split(key, 1)
         results, new_bs = system.forward(
@@ -87,6 +87,10 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
             else None,
             random_has_any=has_any,
             train=True,
+            precomputed_heads=(
+                None if heads is None
+                else (heads.get("a"), heads.get("m"))
+            ),
         )
         loss_d, aw = crnerf_loss(
             results, batch["rgbs"], state.step,
@@ -150,10 +154,57 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
             gc = grids_per_step // c
             keys = jax.random.split(kstep, grids_per_step)
 
-            def chunk_loss(params, batch_c, keys_c, a_rand_c):
+            # ---- hoist the conv heads (enc_a on whole images + CGNet
+            # mask) OUT of the chunk scan: computed once, batched over
+            # all G grids (vmap keeps the reference's per-grid batch-1
+            # BN), gradients routed back through jax.vjp cotangents.
+            # Inside the scan they would run C times at batch G/C —
+            # worse conv batching AND C-fold launch overhead.
+            hoist = cfg.encode_a or cfg.use_mask
+            heads_xs = {}
+            heads_vjp = None
+            hoisted_bs = None
+            if hoist:
+                whole01_all = (batch["whole_img"] + 1.0) / 2.0
+
+                def heads_fn(enc_p, mask_p):
+                    a_emb = None
+                    masks = None
+                    aux_bs = None
+                    if cfg.encode_a:
+                        a_emb = jax.vmap(
+                            lambda w: system.m.enc_a.apply(
+                                {"params": enc_p}, w
+                            )
+                        )(whole01_all)            # (G, 1, 32, 32, C)
+                    if cfg.use_mask:
+                        def one(w):
+                            v = {
+                                "params": {"implicit_mask": mask_p},
+                                "batch_stats": state.batch_stats,
+                            }
+                            return system.predict_mask(v, w, True)
+
+                        masks, aux_bs = jax.vmap(one)(whole01_all)
+                    return (a_emb, masks), aux_bs
+
+                (heads_all, heads_vjp, hoisted_bs) = jax.vjp(
+                    heads_fn,
+                    state.params.get("enc_a"),
+                    state.params.get("implicit_mask"),
+                    has_aux=True,
+                )
+                if heads_all[0] is not None:
+                    heads_xs["a"] = heads_all[0]
+                if heads_all[1] is not None:
+                    heads_xs["m"] = heads_all[1]
+
+            def chunk_loss(params, heads_c, batch_c, keys_c, a_rand_c):
                 totals, aux_c = jax.vmap(
-                    one_grid_loss, in_axes=(None, None, 0, 0, 0, None)
-                )(params, state, batch_c, keys_c, a_rand_c, has_any)
+                    one_grid_loss,
+                    in_axes=(None, None, 0, 0, 0, None, 0),
+                )(params, state, batch_c, keys_c, a_rand_c, has_any,
+                  heads_c)
                 mean_aux = {
                     "loss_d": jax.tree.map(jnp.mean, aux_c["loss_d"]),
                     "aw": jnp.mean(aux_c["aw"]),
@@ -172,28 +223,59 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
             batch_r = jax.tree.map(reshape_c, batch)
             keys_r = keys.reshape(c, gc, *keys.shape[1:])
             a_rand_r = reshape_c(a_rand)
+            heads_r = {k: reshape_c(v) for k, v in heads_xs.items()}
             zero_g = jax.tree.map(jnp.zeros_like, state.params)
 
             def body(gsum, xs):
-                b_c, k_c, ar_c = xs
-                (tot_c, aux_c), g_c = jax.value_and_grad(
-                    chunk_loss, has_aux=True
-                )(state.params, b_c, k_c, ar_c)
+                b_c, k_c, ar_c, h_c = xs
+                (tot_c, aux_c), (g_c, gh_c) = jax.value_and_grad(
+                    chunk_loss, argnums=(0, 1), has_aux=True
+                )(state.params, h_c, b_c, k_c, ar_c)
                 gsum = jax.tree.map(lambda a_, b_: a_ + b_, gsum, g_c)
-                return gsum, (tot_c, aux_c)
+                # head cotangents ride the scan ys back to (C, gc, ...)
+                return gsum, (tot_c, aux_c, gh_c)
 
-            gsum, (tots, auxs) = jax.lax.scan(
-                body, zero_g, (batch_r, keys_r, a_rand_r)
+            gsum, (tots, auxs, gh_all) = jax.lax.scan(
+                body, zero_g,
+                (batch_r, keys_r, a_rand_r, heads_r),
             )
             grads = jax.tree.map(lambda x: x / c, gsum)
             total = jnp.mean(tots)
+            if hoist and heads_vjp is not None:
+                # gh_all leaves are (C, gc, ...) — flatten back to the
+                # (G, ...) layout and scale by the chunk mean factor
+                def unchunk(x):
+                    return x.reshape(grids_per_step, *x.shape[2:]) / c
+
+                ct_a = (
+                    unchunk(gh_all["a"]) if "a" in gh_all else None
+                )
+                ct_m = (
+                    unchunk(gh_all["m"]) if "m" in gh_all else None
+                )
+                d_enc, d_mask = heads_vjp((ct_a, ct_m))
+                if d_enc is not None and "enc_a" in grads:
+                    grads["enc_a"] = jax.tree.map(
+                        lambda a_, b_: a_ + b_, grads["enc_a"], d_enc
+                    )
+                if d_mask is not None and "implicit_mask" in grads:
+                    grads["implicit_mask"] = jax.tree.map(
+                        lambda a_, b_: a_ + b_, grads["implicit_mask"],
+                        d_mask,
+                    )
             aux = {
                 "loss_d": jax.tree.map(jnp.mean, auxs["loss_d"]),
                 "aw": jnp.mean(auxs["aw"]),
                 "psnr": jnp.mean(auxs["psnr"]),
-                "new_bs": None if auxs["new_bs"] is None else
-                jax.tree.map(lambda x: jnp.mean(x, axis=0),
-                             auxs["new_bs"]),
+                "new_bs": (
+                    jax.tree.map(
+                        lambda x: jnp.mean(x, axis=0), hoisted_bs
+                    ) if hoisted_bs is not None else (
+                        None if auxs["new_bs"] is None else
+                        jax.tree.map(lambda x: jnp.mean(x, axis=0),
+                                     auxs["new_bs"])
+                    )
+                ),
                 "a_embedded": None if auxs["a_embedded"] is None else
                 jax.tree.map(
                     lambda x: x.reshape(grids_per_step, *x.shape[2:]),

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--no-fast_sincos", dest="fast_sincos",
                     action="store_false")
     ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--stash", action="store_true",
+                    help="stash-activations backward (pallas_stash)")
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="gradient-accumulation chunks over grids")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--img_wh", type=int, nargs=2, default=(112, 84),
                     help="synthetic scene resolution (112x84 -> 55 "
@@ -61,6 +65,8 @@ def main():
         pallas_train=on_tpu and not args.xla,
         fast_sincos=args.fast_sincos,
         num_epochs=args.epochs,
+        pallas_stash=args.stash,
+        grad_accum_chunks=args.chunks,
     )
     if not on_tpu:
         cfg = cfg.replace(
