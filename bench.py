@@ -56,11 +56,12 @@ def main():
             # fused Pallas fwd+bwd beats the XLA path 58.9k vs 51.1k
             # rays/s (2026-08-16); CRNERF_BENCH_XLA=1 to A/B
             pallas_train=not bool(os.environ.get("CRNERF_BENCH_XLA")),
-            # stash backward + chunked grad accumulation (A/B knobs)
+            # stash backward + chunked grad accumulation (A/B knobs;
+            # defaults follow Config: stash on, chunks auto)
             pallas_stash=bool(int(os.environ.get("CRNERF_BENCH_STASH",
-                                                 "0"))),
+                                                 "1"))),
             grad_accum_chunks=int(os.environ.get("CRNERF_BENCH_CHUNKS",
-                                                 "1")),
+                                                 "0")),
         )
     else:  # CI fallback so the line always prints
         cfg = Config(
@@ -89,7 +90,7 @@ def main():
     )
     train_step = make_train_step(
         system, tx, sched, grids_per_step=grids,
-        grad_accum_chunks=max(1, cfg.grad_accum_chunks))
+        grad_accum_chunks=cfg.resolved_chunks())
 
     staged = {
         k: jnp.stack(

@@ -86,8 +86,7 @@ class Trainer:
 
         axis = DATA_AXIS if self.n_devices > 1 else None
         step_local = make_train_step(self.system, self.tx, self.lr_sched,
-                                     grad_accum_chunks=max(
-                                         1, cfg.grad_accum_chunks),
+                                     grad_accum_chunks=cfg.resolved_chunks(),
                                      axis_name=axis,
                                      grids_per_step=self.grids)
         if self.n_devices > 1:

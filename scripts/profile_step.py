@@ -63,7 +63,7 @@ def main():
     )
     step = jax.jit(
         make_train_step(system, tx, sched, grids_per_step=args.grids,
-                        grad_accum_chunks=max(1, cfg.grad_accum_chunks)),
+                        grad_accum_chunks=cfg.resolved_chunks()),
         donate_argnums=0,
     )
     batch = jax.device_put(pipe.make_global_batch(0, 0, args.grids))

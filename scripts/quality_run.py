@@ -101,7 +101,7 @@ def main():
 
     step_local = make_train_step(
         trainer.system, trainer.tx, trainer.lr_sched, grids_per_step=g,
-        grad_accum_chunks=max(1, trainer.cfg.grad_accum_chunks)
+        grad_accum_chunks=trainer.cfg.resolved_chunks()
     )
 
     def body(state, x):
