@@ -127,6 +127,12 @@ class Config:
     # the vmapped step (fp order). 0 = AUTO: 2 when the stash backward is
     # on and grids_per_step >= 8 (the v5e HBM fit), else 1.
 
+    hoist_heads: bool = False  # compute enc_a/CGNet outside the chunk
+    # scan (batched over all G, grads via vjp cotangents). Numerically ==
+    # in-scan heads (tested); measured 141.7k vs 145.8k rays/s at C=2 —
+    # the vjp serializes head compute against the scan, so OFF by
+    # default; revisit at higher chunk counts.
+
     def resolved_chunks(self) -> int:
         if self.grad_accum_chunks > 0:
             return self.grad_accum_chunks
@@ -203,7 +209,7 @@ _BOOL_FIELDS = {
     "encode_a", "encode_c", "encode_random", "use_mask", "mse_on_appearance",
     "use_pallas", "pallas_train", "pallas_render", "pallas_interpret",
     "pallas_stash", "fast_sincos", "remat", "donate_state", "profile",
-    "use_wandb", "eval_bucket",
+    "use_wandb", "eval_bucket", "hoist_heads",
 }
 
 

@@ -154,13 +154,16 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
             gc = grids_per_step // c
             keys = jax.random.split(kstep, grids_per_step)
 
-            # ---- hoist the conv heads (enc_a on whole images + CGNet
-            # mask) OUT of the chunk scan: computed once, batched over
-            # all G grids (vmap keeps the reference's per-grid batch-1
-            # BN), gradients routed back through jax.vjp cotangents.
-            # Inside the scan they would run C times at batch G/C —
-            # worse conv batching AND C-fold launch overhead.
-            hoist = cfg.encode_a or cfg.use_mask
+            # ---- optionally hoist the conv heads (enc_a on whole images
+            # + CGNet mask) OUT of the chunk scan: computed once, batched
+            # over all G grids (vmap keeps the reference's per-grid
+            # batch-1 BN), gradients routed back through jax.vjp
+            # cotangents. Measured slightly SLOWER at C=2 (the vjp
+            # serializes against the scan — config.py hoist_heads), so
+            # off unless asked for.
+            hoist = (cfg.encode_a or cfg.use_mask) and getattr(
+                cfg, "hoist_heads", False
+            )
             heads_xs = {}
             heads_vjp = None
             hoisted_bs = None
