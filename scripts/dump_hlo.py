@@ -52,7 +52,8 @@ def main():
         rng=jax.random.PRNGKey(1),
     )
     step = jax.jit(
-        make_train_step(system, tx, sched, grids_per_step=args.grids),
+        make_train_step(system, tx, sched, grids_per_step=args.grids,
+                        grad_accum_chunks=cfg.resolved_chunks()),
         donate_argnums=0,
     )
     batch = pipe.make_global_batch(0, 0, args.grids)
