@@ -76,13 +76,43 @@ class BNPReLU(nn.Module):
         return PReLU()(x)
 
 
+class DepthwiseConv3x3(nn.Module):
+    """3x3 depthwise (optionally dilated) conv as NINE shifted
+    multiply-adds.
+
+    Depthwise convs have no channel contraction, so XLA's TPU conv
+    emitters run them on the VPU with poor tiling — the F_sur backward
+    fusions alone cost ~9 ms/step inside the chunked train scan
+    (BASELINE.md, 2026-08-17). The tap formulation lowers to plain
+    elementwise multiply-adds that XLA fuses and pipelines (~bandwidth
+    cost only). Param name/shape match ``nn.Conv(feature_group_count=C)``
+    — kernel (3, 3, 1, C) — so weight ports and checkpoints are
+    unchanged."""
+
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, c)
+        )
+        d = self.dilation
+        h, w = x.shape[1], x.shape[2]
+        xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+        out = None
+        for i in range(3):
+            for j in range(3):
+                tap = xp[:, i * d:i * d + h, j * d:j * d + w, :] * (
+                    kernel[i, j, 0]
+                )
+                out = tap if out is None else out + tap
+        return out
+
+
 def _channelwise_conv(x, features, k, dilation=1, name=None, module=None):
-    p = (k - 1) // 2 * dilation
-    return nn.Conv(
-        features, (k, k), padding=((p, p), (p, p)),
-        kernel_dilation=(dilation, dilation),
-        feature_group_count=x.shape[-1], use_bias=False, name=name,
-    )(x)
+    assert k == 3 and features == x.shape[-1]
+    return DepthwiseConv3x3(dilation=dilation, name=name)(x)
 
 
 class FGlo(nn.Module):
