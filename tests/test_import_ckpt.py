@@ -143,6 +143,38 @@ class TestConverterMatchesModulePorts:
         with pytest.raises(ValueError, match="unknown checkpoint prefix"):
             convert_state_dict({"mystery.weight": torch.zeros(2)})
 
+    def test_decoder_upsample_blocks_map(self):
+        """n_blocks>0 NeuralRenderer checkpoints (img > featmap configs,
+        nerf_decoder_stylenerf.py:239-260) map onto the flax upsample
+        path with matching shapes; Blur '.f' buffers are dropped."""
+        import jax
+
+        from crnerf_tpu.models.decoder import NeuralRenderer
+        from crnerf_tpu.utils.torch_port import map_neural_renderer
+
+        sys.path.insert(0, "/root/reference")
+        from models.nerf_decoder_stylenerf import (
+            NeuralRenderer as TorchNR,
+        )
+
+        torch.manual_seed(5)
+        tm = TorchNR(feat_nc=64, out_dim=3, featmap_size=(8, 8),
+                     img_size=(32, 32))  # n_blocks = 2
+        params = map_neural_renderer(
+            {k: v for k, v in tm.state_dict().items()}
+        )
+        jm = NeuralRenderer(feat_nc=64, out_dim=3, n_blocks=2)
+        init_p = jm.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 64))
+        )["params"]
+        got = jax.tree.map(lambda x: x.shape, params)
+        want = jax.tree.map(lambda x: x.shape, init_p)
+        assert got == want
+        out = jm.apply({"params": params},
+                       jnp.zeros((1, 8, 8, 64), jnp.float32))
+        assert out.shape == (1, 32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
 
 class TestEndToEnd:
     def test_npz_roundtrip_matches_system_structure(self, tmp_path):
