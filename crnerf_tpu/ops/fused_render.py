@@ -288,8 +288,12 @@ def _mlp_fwd(enc_mm, nxt, n_layers, skips, dt, keep_acts: bool,
         acts.append(h)
 
     sw, sb = nxt(), nxt()
-    z_sig = jnp.dot(h.astype(f32), sw[:].astype(f32),
-                    preferred_element_type=f32) + sb[:]
+    # sigma head at compute dtype (f32 accumulation either way). h is
+    # already bf16-quantized at bf16 configs, so only the weight rounding
+    # changes (~0.4% relative, far under the compositing tolerances).
+    # Measured ~neutral on the chip (the f32 matmul was not a bottleneck)
+    # but keeps the kernel's dtype policy uniform.
+    z_sig = mm(h, sw[:]) + sb[:]
     fw, fb = nxt(), nxt()
     hf = (mm(h, fw[:]) + fb[:]).astype(dt)
     wd_h, wd_e, bd = nxt(), nxt(), nxt()
@@ -578,11 +582,7 @@ def _make_render_bwd_kernel(n_layers, skips, c_out, compute_dtype,
         )
         sw[1][:, :] += mm_t(acts[-1].astype(f32), dz_sig_b)
         sb[1][:, :] += jnp.sum(dz_sig_b, axis=0, keepdims=True)
-        dh = dh + jax.lax.dot_general(
-            dz_sig_b, sw[0][:].astype(f32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        )
+        dh = dh + mm_bt(dz_sig_b, sw[0][:])
 
         for i in range(n_layers - 1, -1, -1):
             dz = jnp.where(acts[i].astype(f32) > 0, dh, 0.0)
@@ -681,9 +681,9 @@ def _make_render_bwd_stash_kernel(n_layers, skips, c_out, compute_dtype,
                 preferred_element_type=f32,
             )
 
-        # ---- recompute the cheap heads from the stash
-        z_sig = jnp.dot(acts[-1].astype(f32), sw[0][:].astype(f32),
-                        preferred_element_type=f32) + sb[0][:]
+        # ---- recompute the cheap heads from the stash (sigma head at
+        # compute dtype — see _mlp_fwd; f32 MXU matmuls are ~4-6x slower)
+        z_sig = mm(acts[-1], sw[0][:]) + sb[0][:]
         z_feat = mm(dd, fw2[0][:]) + fb2[0][:]
         feat = jax.nn.sigmoid(z_feat)
         sigma = jax.nn.softplus(z_sig[:, :1])
@@ -748,11 +748,7 @@ def _make_render_bwd_stash_kernel(n_layers, skips, c_out, compute_dtype,
         )
         sw[1][:, :] += mm_t(acts[-1].astype(f32), dz_sig_b)
         sb[1][:, :] += jnp.sum(dz_sig_b, axis=0, keepdims=True)
-        dh = dh + jax.lax.dot_general(
-            dz_sig_b, sw[0][:].astype(f32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        )
+        dh = dh + mm_bt(dz_sig_b, sw[0][:])
 
         for i in range(n_layers - 1, -1, -1):
             dz = jnp.where(acts[i].astype(f32) > 0, dh, 0.0)
@@ -852,7 +848,12 @@ def fused_render_apply(
     inputs are o/d/z/noise/dir-block per ray)."""
     n, s = z_vals.shape
     if r_tile <= 0:
-        r_tile = max(8, 512 // s)  # >= 8: f32 sublane granularity
+        # >= 8 rows (f32 sublane granularity). 1024-point tiles:
+        # r_tile=16 at the coarse train shape (s=64) measured +14%
+        # on fwd+bwd (spike_stash_bench 15.21 -> 13.29 ms) and its
+        # 5 MB stash block fits scoped VMEM exactly like the fine
+        # pass's (s=128, r_tile=8) block does.
+        r_tile = max(8, 1024 // s)
     t = r_tile * s
     n_pad = _round_up(max(n, r_tile), r_tile)
     c_out = params.feat_w.shape[1]
@@ -928,7 +929,12 @@ def make_fused_render_train(
     forward→backward of ONE pass; pair with gradient-accumulation
     chunking over the grid axis at large G (train/step.py)."""
     if r_tile <= 0:
-        r_tile = max(8, 512 // s)  # >= 8: f32 sublane granularity
+        # >= 8 rows (f32 sublane granularity). 1024-point tiles:
+        # r_tile=16 at the coarse train shape (s=64) measured +14%
+        # on fwd+bwd (spike_stash_bench 15.21 -> 13.29 ms) and its
+        # 5 MB stash block fits scoped VMEM exactly like the fine
+        # pass's (s=128, r_tile=8) block does.
+        r_tile = max(8, 1024 // s)
     if stash and not rays_in:
         raise ValueError("stash backward requires the rays-in kernel")
     fwd_kw = dict(n_emb_xyz=n_emb_xyz, n_emb_dir=n_emb_dir, r_tile=r_tile,

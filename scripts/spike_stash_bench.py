@@ -103,12 +103,19 @@ def main():
               compute_dtype=jnp.bfloat16, skips=(4,),
               exact_encode=False, rays_in=True)
 
-    for stash in (False, True):
-        fn = make_fused_render_train(**kw, stash=stash)
-        dt = bench(fn, p, o, d, z, noise, args.k)
+    for stash, r_tile in ((False, 0), (False, 16), (False, 32),
+                          (True, 0), (True, 16)):
+        try:
+            fn = make_fused_render_train(**kw, stash=stash,
+                                         r_tile=r_tile)
+            dt = bench(fn, p, o, d, z, noise, args.k)
+        except Exception as e:  # noqa: BLE001 — VMEM OOM etc.
+            print(f"stash={stash} r_tile={r_tile}: SKIP "
+                  f"({str(e)[:70]})")
+            continue
         pts = n * s
-        print(f"stash={stash}: {dt * 1e3:8.2f} ms per fwd+bwd "
-              f"({pts / dt / 1e6:7.1f} Mpts/s) at ({n} rays x {s})")
+        print(f"stash={stash} r_tile={r_tile}: {dt * 1e3:8.2f} ms per "
+              f"fwd+bwd ({pts / dt / 1e6:7.1f} Mpts/s) at ({n} x {s})")
 
 
 if __name__ == "__main__":
