@@ -49,6 +49,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Raised Mosaic VMEM budget for the big-tile stash kernels: the default
+# scoped limit is an XLA flag default (16 MB), not the physical VMEM;
+# larger r_tile stash blocks need headroom above it.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
 from crnerf_tpu.core.compositing import DELTA_INF
 from crnerf_tpu.ops.fused_mlp import (
     LANE,
@@ -848,12 +853,12 @@ def fused_render_apply(
     inputs are o/d/z/noise/dir-block per ray)."""
     n, s = z_vals.shape
     if r_tile <= 0:
-        # >= 8 rows (f32 sublane granularity). 1024-point tiles:
-        # r_tile=16 at the coarse train shape (s=64) measured +14%
-        # on fwd+bwd (spike_stash_bench 15.21 -> 13.29 ms) and its
-        # 5 MB stash block fits scoped VMEM exactly like the fine
-        # pass's (s=128, r_tile=8) block does.
-        r_tile = max(8, 1024 // s)
+        # >= 8 rows (f32 sublane granularity). 2048-point tiles are the
+        # measured sweet spot for the stash fwd+bwd pair on v5e
+        # (spike_stash_bench, 8192 rays: s=128 r_tile 8/16/32 =
+        # 26.9/25.5/27.4 ms; s=64 r_tile 16/32/64 = 13.1/12.8/13.9 ms).
+        # The bigger stash blocks need the raised _VMEM_LIMIT budget.
+        r_tile = max(8, 2048 // s)
     t = r_tile * s
     n_pad = _round_up(max(n, r_tile), r_tile)
     c_out = params.feat_w.shape[1]
@@ -896,6 +901,8 @@ def fused_render_apply(
             pltpu.VMEM((enc_t_rows(n_emb_xyz), t), jnp.float32)
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(in0, z_p, no_p, dir_blk, *wargs)
     return out_ray[:n], weights[:n]
 
@@ -929,12 +936,12 @@ def make_fused_render_train(
     forward→backward of ONE pass; pair with gradient-accumulation
     chunking over the grid axis at large G (train/step.py)."""
     if r_tile <= 0:
-        # >= 8 rows (f32 sublane granularity). 1024-point tiles:
-        # r_tile=16 at the coarse train shape (s=64) measured +14%
-        # on fwd+bwd (spike_stash_bench 15.21 -> 13.29 ms) and its
-        # 5 MB stash block fits scoped VMEM exactly like the fine
-        # pass's (s=128, r_tile=8) block does.
-        r_tile = max(8, 1024 // s)
+        # >= 8 rows (f32 sublane granularity). 2048-point tiles are the
+        # measured sweet spot for the stash fwd+bwd pair on v5e
+        # (spike_stash_bench, 8192 rays: s=128 r_tile 8/16/32 =
+        # 26.9/25.5/27.4 ms; s=64 r_tile 16/32/64 = 13.1/12.8/13.9 ms).
+        # The bigger stash blocks need the raised _VMEM_LIMIT budget.
+        r_tile = max(8, 2048 // s)
     if stash and not rays_in:
         raise ValueError("stash backward requires the rays-in kernel")
     fwd_kw = dict(n_emb_xyz=n_emb_xyz, n_emb_dir=n_emb_dir, r_tile=r_tile,
@@ -1016,6 +1023,8 @@ def make_fused_render_train(
                 pltpu.VMEM((enc_t_rows(n_emb_xyz), t), jnp.float32)
             ],
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
         )(in0, z_p, no_p, dir_blk, *wargs)
         out_ray, weights = res[0], res[1]
         stashes = tuple(res[2:])
@@ -1072,6 +1081,8 @@ def make_fused_render_train(
                     for w in wargs
                 ],
                 interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT),
             )(z_p, no_p, dir_blk, g_ray_p, g_w_p, stash_arr, enc_stash,
               *wargs)
         else:
@@ -1104,6 +1115,8 @@ def make_fused_render_train(
                     pltpu.VMEM((enc_t_rows(n_emb_xyz), t), jnp.float32)
                 ],
                 interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT),
             )(in0, z_p, no_p, dir_blk, g_ray_p, g_w_p, *wargs)
         dparams = _ungroup_grads(dwargs, params, n_emb_xyz, n_emb_dir,
                                  skips, split_dir=True)

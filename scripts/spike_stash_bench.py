@@ -103,8 +103,8 @@ def main():
               compute_dtype=jnp.bfloat16, skips=(4,),
               exact_encode=False, rays_in=True)
 
-    for stash, r_tile in ((False, 0), (False, 16), (False, 32),
-                          (True, 0), (True, 16)):
+    for stash, r_tile in ((True, 0), (True, 16), (True, 32),
+                          (True, 64), (True, 128)):
         try:
             fn = make_fused_render_train(**kw, stash=stash,
                                          r_tile=r_tile)
