@@ -54,7 +54,14 @@ class ConvRefl(nn.Module):
 
 
 def max_pool_2x2(x):
-    """torch MaxPool2d(2,2) floor behavior: odd trailing row/col dropped."""
+    """torch MaxPool2d(2,2) floor behavior: odd trailing row/col dropped.
+
+    Deliberately ``lax.reduce_window`` (nn.max_pool): a reshape-max
+    formulation (max over split 2x2 axes) looked cheaper on paper — its
+    VJP avoids TPU's select-and-scatter — but measured 2% SLOWER
+    end-to-end (161.9k vs 165.2k rays/s): the strided reshape transposes
+    and two full-size compare-multiply VJP fusions outweigh the
+    ~0.3 ms select-and-scatter they replace."""
     h, w = x.shape[1], x.shape[2]
     x = x[:, : h - h % 2, : w - w % 2, :]
     return nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")

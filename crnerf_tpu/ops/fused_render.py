@@ -853,12 +853,10 @@ def fused_render_apply(
     inputs are o/d/z/noise/dir-block per ray)."""
     n, s = z_vals.shape
     if r_tile <= 0:
-        # >= 8 rows (f32 sublane granularity). 2048-point tiles are the
-        # measured sweet spot for the stash fwd+bwd pair on v5e
-        # (spike_stash_bench, 8192 rays: s=128 r_tile 8/16/32 =
-        # 26.9/25.5/27.4 ms; s=64 r_tile 16/32/64 = 13.1/12.8/13.9 ms).
-        # The bigger stash blocks need the raised _VMEM_LIMIT budget.
-        r_tile = max(8, 2048 // s)
+        # >= 8 rows (f32 sublane granularity). Forward-only kernels prefer
+        # 4096-point tiles (spike_stash_bench split sweep: s=128 fwd r32
+        # beats r16; s=64 r64 ~= r32) under the raised _VMEM_LIMIT budget.
+        r_tile = max(8, 4096 // s)
     t = r_tile * s
     n_pad = _round_up(max(n, r_tile), r_tile)
     c_out = params.feat_w.shape[1]
@@ -919,6 +917,7 @@ def make_fused_render_train(
     exact_encode: bool = True,
     rays_in: bool = False,
     stash: bool = False,
+    r_tile_bwd: int = 0,
 ):
     """Differentiable fused render: forward = the fused MLP+composite
     kernel; backward = one recompute kernel emitting WEIGHT grads only.
@@ -936,12 +935,18 @@ def make_fused_render_train(
     forward→backward of ONE pass; pair with gradient-accumulation
     chunking over the grid axis at large G (train/step.py)."""
     if r_tile <= 0:
-        # >= 8 rows (f32 sublane granularity). 2048-point tiles are the
-        # measured sweet spot for the stash fwd+bwd pair on v5e
-        # (spike_stash_bench, 8192 rays: s=128 r_tile 8/16/32 =
-        # 26.9/25.5/27.4 ms; s=64 r_tile 16/32/64 = 13.1/12.8/13.9 ms).
-        # The bigger stash blocks need the raised _VMEM_LIMIT budget.
-        r_tile = max(8, 2048 // s)
+        # >= 8 rows (f32 sublane granularity). Measured sweet spot on v5e
+        # (spike_stash_bench, 8192 rays, split fwd/bwd sweep): the FORWARD
+        # prefers 4096-point tiles, the stash BACKWARD 2048-point tiles —
+        # s=128 (r_fwd, r_bwd) (32,16)=25.25 ms vs (16,16)=25.60 vs
+        # (16,32)=27.63; s=64 (32,32)=12.84 ~= (64,32)=12.85. The bigger
+        # blocks need the raised _VMEM_LIMIT budget.
+        r_tile = max(8, 4096 // s)
+    if r_tile_bwd <= 0:
+        r_tile_bwd = max(8, min(r_tile, 2048 // s))
+    r_big = max(r_tile, r_tile_bwd)
+    if r_big % min(r_tile, r_tile_bwd):
+        raise ValueError("r_tile and r_tile_bwd must divide one another")
     if stash and not rays_in:
         raise ValueError("stash backward requires the rays-in kernel")
     fwd_kw = dict(n_emb_xyz=n_emb_xyz, n_emb_dir=n_emb_dir, r_tile=r_tile,
@@ -956,7 +961,7 @@ def make_fused_render_train(
 
     def fwd(params, pos, dirs, z_vals, noise):
         n = z_vals.shape[0]
-        n_pad = _round_up(max(n, r_tile), r_tile)
+        n_pad = _round_up(max(n, r_big), r_big)
         in0, z_p, no_p, dir_blk, wargs = _stage_inputs(
             params, pos, dirs, z_vals, noise, n, s, n_pad, n_emb_xyz,
             n_emb_dir, compute_dtype, exact_encode, rays_in, skips,
@@ -1038,7 +1043,8 @@ def make_fused_render_train(
         n_pad = z_p.shape[0]
         c_out = params.feat_w.shape[1]
         c_pad = _round_up(c_out + 1, LANE)
-        t = r_tile * s
+        rb = r_tile_bwd
+        t = rb * s
         g_ray_p = _pad_rays(g_ray.astype(jnp.float32), n_pad, n)
         g_w_p = _pad_rays(g_w.astype(jnp.float32), n_pad, n)
 
@@ -1054,21 +1060,21 @@ def make_fused_render_train(
             e_rows = enc_stash.shape[0]
             kernel = _make_render_bwd_stash_kernel(
                 len(params.trunk_w), skips, c_out, compute_dtype,
-                r_tile, s, n_w,
+                rb, s, n_w,
             )
             dwargs = pl.pallas_call(
                 kernel,
-                grid=(n_pad // r_tile,),
+                grid=(n_pad // rb,),
                 in_specs=[
-                    pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                    pl.BlockSpec((rb, s), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                    pl.BlockSpec((rb, s), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                    pl.BlockSpec((rb, LANE), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
+                    pl.BlockSpec((rb, c_pad), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                    pl.BlockSpec((rb, s), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((t, c_s), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
@@ -1087,23 +1093,23 @@ def make_fused_render_train(
               *wargs)
         else:
             kernel = _make_render_bwd_kernel(
-                len(params.trunk_w), skips, c_out, compute_dtype, r_tile,
+                len(params.trunk_w), skips, c_out, compute_dtype, rb,
                 s, n_w, n_emb_xyz, rays_in, exact_encode,
             )
             dwargs = pl.pallas_call(
                 kernel,
-                grid=(n_pad // r_tile,),
+                grid=(n_pad // rb,),
                 in_specs=[
-                    _in0_spec(rays_in, t, in0.shape[-1], r_tile),
-                    pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                    _in0_spec(rays_in, t, in0.shape[-1], rb),
+                    pl.BlockSpec((rb, s), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                    pl.BlockSpec((rb, s), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                    pl.BlockSpec((rb, LANE), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0),
+                    pl.BlockSpec((rb, c_pad), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                    pl.BlockSpec((rb, s), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ] + [const(w.shape) for w in wargs],
                 out_specs=[const(w.shape) for w in wargs],

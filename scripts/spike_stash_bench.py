@@ -103,18 +103,22 @@ def main():
               compute_dtype=jnp.bfloat16, skips=(4,),
               exact_encode=False, rays_in=True)
 
-    for stash, r_tile in ((True, 0), (True, 16), (True, 32),
-                          (True, 64), (True, 128)):
+    base = max(8, 2048 // s)
+    combos = [(base, base)] + [
+        (base, rb) for rb in (base // 2, base * 2, base * 4)
+    ] + [(base * 2, base), (base // 2, base)]
+    for r_fwd, r_bwd in combos:
+        if min(r_fwd, r_bwd) < 8:
+            continue
         try:
-            fn = make_fused_render_train(**kw, stash=stash,
-                                         r_tile=r_tile)
+            fn = make_fused_render_train(**kw, stash=True,
+                                         r_tile=r_fwd, r_tile_bwd=r_bwd)
             dt = bench(fn, p, o, d, z, noise, args.k)
         except Exception as e:  # noqa: BLE001 — VMEM OOM etc.
-            print(f"stash={stash} r_tile={r_tile}: SKIP "
-                  f"({str(e)[:70]})")
+            print(f"r_fwd={r_fwd} r_bwd={r_bwd}: SKIP ({str(e)[:70]})")
             continue
         pts = n * s
-        print(f"stash={stash} r_tile={r_tile}: {dt * 1e3:8.2f} ms per "
+        print(f"r_fwd={r_fwd} r_bwd={r_bwd}: {dt * 1e3:8.2f} ms per "
               f"fwd+bwd ({pts / dt / 1e6:7.1f} Mpts/s) at ({n} x {s})")
 
 
