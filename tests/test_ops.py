@@ -590,6 +590,41 @@ class TestRaysInFusedRender:
         with pytest.raises(ValueError, match="rays-in"):
             make_fused_render_train(15, 4, s=16, stash=True, rays_in=False)
 
+    def test_split_fwd_bwd_tiles_match(self):
+        """r_tile_bwd != r_tile re-blocks the flat HBM stash for the
+        backward; values identical, grads equal up to tile-reduction fp
+        order. Covers the production default (fwd 4096-pt, bwd 2048-pt
+        tiles) incl. the non-divisible-ray-count padding path."""
+        from crnerf_tpu.ops.fused_render import make_fused_render_train
+
+        p, o, d, z, xyz, noise = self._setup(n=24)
+        kw = dict(s=16, interpret=True, rays_in=True, stash=True)
+
+        def loss(fn, pp):
+            blk, w = fn(pp, o, d, z, noise)
+            return jnp.sum(blk[:, :17] ** 2) + jnp.sum(w * jnp.cos(w))
+
+        f_ref = make_fused_render_train(15, 4, **kw, r_tile=8)
+        v1, g1 = jax.value_and_grad(lambda q: loss(f_ref, q))(p)
+        for rf, rb in ((16, 8), (8, 16)):
+            fn = make_fused_render_train(15, 4, **kw, r_tile=rf,
+                                         r_tile_bwd=rb)
+            v2, g2 = jax.value_and_grad(lambda q: loss(fn, q))(p)
+            np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                       rtol=1e-6)
+            for a_, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+                np.testing.assert_allclose(np.asarray(a_),
+                                           np.asarray(b_),
+                                           atol=1e-5, rtol=1e-4)
+
+    def test_split_tiles_must_divide(self):
+        from crnerf_tpu.ops.fused_render import make_fused_render_train
+
+        with pytest.raises(ValueError, match="divide"):
+            make_fused_render_train(
+                15, 4, s=16, rays_in=True, r_tile=24, r_tile_bwd=16
+            )
+
     def test_fast_encode_close_to_exact(self):
         """In-kernel anchored recurrence (exact_encode=False) vs exact —
         same error envelope as the stream fast_sincos ladder."""
