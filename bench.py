@@ -136,7 +136,10 @@ def main():
     )
     pts_c = cfg.batch_size * grids * cfg.N_samples
     pts_f = cfg.batch_size * grids * (cfg.N_samples + cfg.N_importance)
-    bwd_mult = 3.05 if cfg.pallas_stash else 4.0
+    # stash only runs when the Pallas train path itself is on — the XLA
+    # A/B path (CRNERF_BENCH_XLA=1) recomputes via remat regardless of
+    # cfg.pallas_stash
+    bwd_mult = 3.05 if (cfg.pallas_stash and cfg.pallas_train) else 4.0
     step_flops = bwd_mult * (pts_c * fwd_pp_c + pts_f * fwd_pp_f)
 
     float(run_k(state))   # warm both compiles + force execution

@@ -159,15 +159,24 @@ class StyleNet(nn.Module):
         )
         return self.decoder(fused)
 
-    def decode_batch(self, contents, styles, raw_extra=None):
+    def decode_batch(self, contents, styles, raw_extra=None,
+                     valid_mask=None, n_valid=None):
         """Batched decode: ``contents`` (K, H, W, C) styled by ``styles``
         (K, 32, 32, C) in ONE StyleTransform + decoder pass, with
         ``raw_extra`` (M, H, W, C) appended un-styled (the content-
         constraint path). Returns (K+M, H, W, 3). Numerically identical
         to K+M separate ``__call__``s — per-sample convs/grams are
         batch-independent — with one launch per conv instead of K+M
-        (the train step's decode long-tail, BASELINE.md)."""
-        fused, _ = self.multi_net(contents, styles)
+        (the train step's decode long-tail, BASELINE.md).
+        ``valid_mask`` (1, H, W, 1) + ``n_valid``: masked global stats
+        for resolution-bucketed (padded) maps, as in ``__call__``."""
+        if valid_mask is not None and self.n_upsample_blocks > 0:
+            raise ValueError(
+                "bucketed (masked) decode requires the pointwise "
+                "n_blocks=0 decoder"
+            )
+        fused, _ = self.multi_net(contents, styles, valid_mask=valid_mask,
+                                  n_valid=n_valid)
         dec_in = (
             fused if raw_extra is None
             else jnp.concatenate([fused, raw_extra], axis=0)

@@ -54,6 +54,11 @@ from jax.experimental.pallas import tpu as pltpu
 # larger r_tile stash blocks need headroom above it.
 _VMEM_LIMIT = 100 * 1024 * 1024
 
+
+def _pow2_floor(x: int) -> int:
+    """Largest power of two <= x (x >= 1)."""
+    return 1 << (x.bit_length() - 1)
+
 from crnerf_tpu.core.compositing import DELTA_INF
 from crnerf_tpu.ops.fused_mlp import (
     LANE,
@@ -856,7 +861,8 @@ def fused_render_apply(
         # >= 8 rows (f32 sublane granularity). Forward-only kernels prefer
         # 4096-point tiles (spike_stash_bench split sweep: s=128 fwd r32
         # beats r16; s=64 r64 ~= r32) under the raised _VMEM_LIMIT budget.
-        r_tile = max(8, 4096 // s)
+        # Power-of-two floor keeps tiles sublane-aligned for every s.
+        r_tile = _pow2_floor(max(8, 4096 // s))
     t = r_tile * s
     n_pad = _round_up(max(n, r_tile), r_tile)
     c_out = params.feat_w.shape[1]
@@ -940,10 +946,13 @@ def make_fused_render_train(
         # prefers 4096-point tiles, the stash BACKWARD 2048-point tiles —
         # s=128 (r_fwd, r_bwd) (32,16)=25.25 ms vs (16,16)=25.60 vs
         # (16,32)=27.63; s=64 (32,32)=12.84 ~= (64,32)=12.85. The bigger
-        # blocks need the raised _VMEM_LIMIT budget.
-        r_tile = max(8, 4096 // s)
+        # blocks need the raised _VMEM_LIMIT budget. Auto tiles are
+        # floored to powers of two so any (fwd, bwd) pair divides one
+        # another and stays sublane-aligned for EVERY sample count
+        # (4096//s is 21 at s=192 — neither).
+        r_tile = _pow2_floor(max(8, 4096 // s))
     if r_tile_bwd <= 0:
-        r_tile_bwd = max(8, min(r_tile, 2048 // s))
+        r_tile_bwd = _pow2_floor(max(8, min(r_tile, 2048 // s)))
     r_big = max(r_tile, r_tile_bwd)
     if r_big % min(r_tile, r_tile_bwd):
         raise ValueError("r_tile and r_tile_bwd must divide one another")

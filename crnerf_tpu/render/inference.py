@@ -26,16 +26,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from crnerf_tpu.config import Config
-from crnerf_tpu.models.common import resize_bilinear, sample_bilinear_uv
 from crnerf_tpu.render.system import CrNerfSystem
 
 _FOLD_W = 128
 _MIN_BUCKET = 4096
+_KEEP_KEYS = ("rgb_fine", "rgb_coarse", "depth_fine", "depth_coarse",
+              "out_mask")
 
 
 def bucket_size(n_pix: int) -> int:
     """Next power of two >= n_pix (floor at one fold row block)."""
     return max(_MIN_BUCKET, 1 << (int(n_pix) - 1).bit_length())
+
+
+def _keep(results: Dict) -> Dict:
+    return {k: results[k] for k in _KEEP_KEYS if k in results}
 
 
 class Renderer:
@@ -56,14 +61,10 @@ class Renderer:
         def render(variables, rays, whole_img, key):
             batch = {"rays": rays, "whole_img": whole_img}
             results, _ = self.system.forward(
-                variables, batch, key, train=False, tile=tile, image_hw=hw
+                variables, batch, key, train=False, tile=tile,
+                image_hw=hw, want_content=False,
             )
-            keep = {}
-            for k in ("rgb_fine", "rgb_coarse", "depth_fine",
-                      "depth_coarse", "out_mask"):
-                if k in results:
-                    keep[k] = results[k]
-            return keep
+            return _keep(results)
 
         fn = jax.jit(render)
         self._cache[key] = fn
@@ -71,66 +72,27 @@ class Renderer:
 
     # ----------------------------------------------------- bucketed path
     def _fn_bucketed(self, p: int):
+        """Same ``system.forward`` as the exact path, on rays padded to
+        the p-pixel bucket folded as a (p/128, 128) map: ``uv_pix``
+        routes the mask gather to true pixel centers and ``valid`` masks
+        the style statistics to the real pixels (see module docstring)."""
         key = ("bucket", p)
         if key in self._cache:
             return self._cache[key]
-        cfg = self.cfg
-        system = self.system
-        tile = min(cfg.chunk, p)
+        tile = min(self.cfg.chunk, p)
         fold_hw = (p // _FOLD_W, _FOLD_W)
 
         def render(variables, rays, whole_img, uv, n_valid, key):
-            params = variables["params"]
-            results: Dict[str, jax.Array] = {}
-
-            a_embedded = None
-            if cfg.encode_a:
-                whole01 = (whole_img + 1.0) / 2.0
-                a_embedded = system.encode_appearance(params, whole01)
-            if cfg.use_mask:
-                whole01_m = (whole_img + 1.0) / 2.0
-                mask_small, _ = system.predict_mask(
-                    variables, whole01_m, train=False
-                )
-                results["out_mask"] = sample_bilinear_uv(
-                    mask_small[0], uv
-                )
-
-            from crnerf_tpu.render.renderer import render_rays_tiled
-
-            apply_fine = (
-                system._apply_fine if system.m.fine is not None else None
-            )
-            ray_params = {
-                "coarse": params["nerf_coarse"],
-                "fine": params.get("nerf_fine"),
-            }
-            rr = render_rays_tiled(
-                system._apply_coarse, apply_fine, ray_params, rays, key,
-                tile=tile, **system._render_kw(train=False),
-            )
-
             vmask = (
                 jnp.arange(p) < n_valid
             ).reshape(1, *fold_hw, 1).astype(jnp.float32)
-
-            def decode(feature_flat):
-                fmap = feature_flat.reshape(1, *fold_hw, -1)
-                if cfg.encode_a:
-                    return system.m.decoder.apply(
-                        {"params": params["decoder"]}, fmap, a_embedded,
-                        valid_mask=vmask, n_valid=n_valid,
-                    ).reshape(-1, 3)
-                return system.m.decoder.apply(
-                    {"params": params["decoder"]}, fmap
-                ).reshape(-1, 3)
-
-            results["rgb_coarse"] = decode(rr["feature_coarse"])
-            results["depth_coarse"] = rr["depth_coarse"]
-            if cfg.N_importance > 0:
-                results["rgb_fine"] = decode(rr["feature_fine"])
-                results["depth_fine"] = rr["depth_fine"]
-            return results
+            batch = {"rays": rays, "whole_img": whole_img, "uv_pix": uv}
+            results, _ = self.system.forward(
+                variables, batch, key, train=False, tile=tile,
+                image_hw=fold_hw, valid=(vmask, n_valid),
+                want_content=False,
+            )
+            return _keep(results)
 
         fn = jax.jit(render)
         self._cache[key] = fn

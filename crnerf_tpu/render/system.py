@@ -145,15 +145,19 @@ class CrNerfSystem:
         return self.m.enc_a.apply({"params": params["enc_a"]}, whole01)
 
     def decode(self, params, feature_flat, hw: Tuple[int, int],
-               style=None, kind: Optional[str] = None):
+               style=None, kind: Optional[str] = None,
+               valid: Optional[Tuple] = None):
         """feature_flat (B, C), B = h*w row-major -> rgb image (1,h,w,3).
 
-        Mirrors NeRFSystem.decode (train…py:127-149)."""
+        Mirrors NeRFSystem.decode (train…py:127-149). ``valid``: see
+        ``forward`` — masked style statistics for bucketed (padded) maps."""
         h, w = hw
         fmap = feature_flat.reshape(1, h, w, -1)
+        vmask, n_valid = valid if valid is not None else (None, None)
         if self.cfg.encode_a:
             return self.m.decoder.apply(
-                {"params": params["decoder"]}, fmap, style, kind=kind
+                {"params": params["decoder"]}, fmap, style, kind=kind,
+                valid_mask=vmask, n_valid=n_valid,
             )
         return self.m.decoder.apply({"params": params["decoder"]}, fmap)
 
@@ -228,11 +232,26 @@ class CrNerfSystem:
         tile: Optional[int] = None,
         image_hw: Optional[Tuple[int, int]] = None,
         precomputed_heads: Optional[Tuple] = None,
+        valid: Optional[Tuple[jax.Array, jax.Array]] = None,
+        want_content: Optional[bool] = None,
     ):
         """The cross-ray forward pass (train…py:151-226).
 
         batch keys: rays (B,8), ts (B,), rgbs (B,3), whole_img (1,Ha,Wa,3)
         in [-1,1], uv_pix (B,2) pixel-center coords of the sampled pixels.
+        At eval, ``uv_pix`` present -> the mask is gathered at those pixel
+        centers (the bucketed path); absent -> resized to ``image_hw``.
+
+        valid: optional ``(mask (1,H,W,1) 0/1, n_valid traced count)`` for
+        resolution-BUCKETED renders — rays beyond n_valid are padding; the
+        style transform's global statistics are computed over the valid
+        pixels only (models/style.py). Requires the pointwise n_blocks=0
+        decoder.
+
+        want_content: override for the content-constraint heads
+        (enc_cont + the un-styled decode). Defaults to ``cfg.encode_c``;
+        pure inference (render/inference.py) passes False — the content
+        outputs only feed the training loss and the val image panels.
 
         a_embedded_random: the randomly-chosen cached style embedding
         (selection happens in the train step where the cache lives);
@@ -277,9 +296,10 @@ class CrNerfSystem:
                 mask_small, new_bs = self.predict_mask(
                     variables, whole01_m, train
                 )
-            if train:
+            if train or "uv_pix" in batch:
                 # gather mask at sampled pixel centers (== interpolate to
-                # full res then flat-index, see models/common.py)
+                # full res then flat-index, see models/common.py); the
+                # bucketed eval path supplies uv_pix for its padded rays
                 out_mask = sample_bilinear_uv(mask_small[0], batch["uv_pix"])
             else:
                 out_mask = resize_bilinear(mask_small, hw).reshape(-1, 1)
@@ -306,6 +326,10 @@ class CrNerfSystem:
         # ---- decode heads (train…py:205-224)
         h, w = hw
         has_fine = cfg.N_importance > 0
+        want_c = cfg.encode_c if want_content is None else (
+            want_content and cfg.encode_c
+        )
+        vmask, n_valid = valid if valid is not None else (None, None)
         do_random = (cfg.encode_a and cfg.encode_random
                      and a_embedded_random is not None)
         if do_random and random_has_any is not None:
@@ -327,11 +351,12 @@ class CrNerfSystem:
             if do_random:
                 maps.append(ff_map)
                 styles.append(a_embedded_random)
-            raw = ff_map if cfg.encode_c else None
+            raw = ff_map if want_c else None
             imgs = self.m.decoder.apply(
                 {"params": params["decoder"]},
                 jnp.concatenate(maps, 0), jnp.concatenate(styles, 0),
                 raw, method="decode_batch",
+                valid_mask=vmask, n_valid=n_valid,
             )
             rgb_coarse_img = imgs[0:1]
             rgb_fine_img = imgs[1:2]
@@ -340,20 +365,20 @@ class CrNerfSystem:
             results["rgb_fine"] = rgb_fine_img.reshape(-1, 3)
             if do_random:
                 rgb_rand_img = imgs[2:3]
-            if cfg.encode_c:
+            if want_c:
                 results["rgb_content_img"] = imgs[-1:]
         else:
             rgb_coarse_img = self.decode(
-                params, rr["feature_coarse"], hw, a_embedded
+                params, rr["feature_coarse"], hw, a_embedded, valid=valid
             )
             results["rgb_coarse"] = rgb_coarse_img.reshape(-1, 3)
             if has_fine:
                 rgb_fine_img = self.decode(
-                    params, rr["feature_fine"], hw, a_embedded
+                    params, rr["feature_fine"], hw, a_embedded, valid=valid
                 )
                 results["rgb_fine_img"] = rgb_fine_img
                 results["rgb_fine"] = rgb_fine_img.reshape(-1, 3)
-            if cfg.encode_c and has_fine:
+            if want_c and has_fine:
                 results["rgb_content_img"] = self.decode(
                     params, rr["feature_fine"], hw, None, kind="content"
                 )
@@ -371,7 +396,7 @@ class CrNerfSystem:
             )
             results["rgb_fine_random"] = rgb_rand_img.reshape(-1, 3)
 
-        if cfg.encode_c and has_fine:
+        if want_c and has_fine:
             # both content embeddings in one batched encoder pass
             both = self.m.enc_cont.apply(
                 {"params": params["enc_cont"]},

@@ -112,16 +112,21 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
         }
         return total, aux
 
-    def loss_fn(params, state: TrainState, batch, key, a_rand, has_any):
-        if grids_per_step == 1:
-            return one_grid_loss(params, state, batch, key, a_rand,
-                                 has_any)
-        keys = jax.random.split(key, grids_per_step)
-        totals, aux = jax.vmap(
-            one_grid_loss, in_axes=(None, None, 0, 0, 0, None)
-        )(params, state, batch, keys, a_rand, has_any)
-        # average the per-grid scalars (grad of mean == DDP pmean);
-        # BN stats likewise averaged across grids (the DP pmean analog)
+    def mean_over_grids(params, state: TrainState, batch_g, keys_g,
+                        a_rand_g, has_any, heads_g=None):
+        """vmap one_grid_loss over a leading grid axis and average the
+        per-grid scalars (grad of mean == DDP pmean); BN stats likewise
+        averaged across grids (the DP pmean analog). ``heads_g`` set (a
+        possibly-empty dict) -> the hoisted-heads variant with a vmapped
+        heads argument."""
+        if heads_g is None:
+            totals, aux = jax.vmap(
+                one_grid_loss, in_axes=(None, None, 0, 0, 0, None)
+            )(params, state, batch_g, keys_g, a_rand_g, has_any)
+        else:
+            totals, aux = jax.vmap(
+                one_grid_loss, in_axes=(None, None, 0, 0, 0, None, 0),
+            )(params, state, batch_g, keys_g, a_rand_g, has_any, heads_g)
         mean_aux = {
             "loss_d": jax.tree.map(jnp.mean, aux["loss_d"]),
             "aw": jnp.mean(aux["aw"]),
@@ -132,6 +137,14 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
             "a_embedded": aux["a_embedded"],  # keep per-grid (G, 1, ...)
         }
         return jnp.mean(totals), mean_aux
+
+    def loss_fn(params, state: TrainState, batch, key, a_rand, has_any):
+        if grids_per_step == 1:
+            return one_grid_loss(params, state, batch, key, a_rand,
+                                 has_any)
+        keys = jax.random.split(key, grids_per_step)
+        return mean_over_grids(params, state, batch, keys, a_rand,
+                               has_any)
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -203,22 +216,8 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
                     heads_xs["m"] = heads_all[1]
 
             def chunk_loss(params, heads_c, batch_c, keys_c, a_rand_c):
-                totals, aux_c = jax.vmap(
-                    one_grid_loss,
-                    in_axes=(None, None, 0, 0, 0, None, 0),
-                )(params, state, batch_c, keys_c, a_rand_c, has_any,
-                  heads_c)
-                mean_aux = {
-                    "loss_d": jax.tree.map(jnp.mean, aux_c["loss_d"]),
-                    "aw": jnp.mean(aux_c["aw"]),
-                    "psnr": jnp.mean(aux_c["psnr"]),
-                    "new_bs": None if aux_c["new_bs"] is None else
-                    jax.tree.map(
-                        lambda x: jnp.mean(x, axis=0), aux_c["new_bs"]
-                    ),
-                    "a_embedded": aux_c["a_embedded"],  # (gc, 1, ...)
-                }
-                return jnp.mean(totals), mean_aux
+                return mean_over_grids(params, state, batch_c, keys_c,
+                                       a_rand_c, has_any, heads_c)
 
             reshape_c = lambda x: x.reshape(  # noqa: E731
                 c, gc, *x.shape[1:]

@@ -76,6 +76,9 @@ def main(argv=None):
         np.array, {"params": params, "batch_stats": stats}
     )
 
+    # one run_torch call over all batches; drop the first (warmup) step.
+    # (a second run_torch call would be warm anyway, but keep both sides
+    # structured identically: steps timed INSIDE a single trainer run)
     t0 = time.perf_counter()
     cp.run_torch(cfg, mods, embeddings, ref_args, batches[:1], total)
     torch_warm = time.perf_counter() - t0
@@ -83,12 +86,13 @@ def main(argv=None):
     cp.run_torch(cfg, mods, embeddings, ref_args, batches[1:], total)
     torch_s = (time.perf_counter() - t0) / n_timed
 
-    t0 = time.perf_counter()
-    cp.run_jax(cfg, variables, batches[:1], total)
-    jax_warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    cp.run_jax(cfg, variables, batches[1:], total)
-    jax_s = (time.perf_counter() - t0) / n_timed
+    # the jit lives INSIDE run_jax, so steps must be timed within ONE call
+    # (a second run_jax call rebuilds the jit and would time a recompile,
+    # not a warm step — that bug inflated an earlier BASELINE.md row)
+    jax_times: list = []
+    cp.run_jax(cfg, variables, batches, total, step_times=jax_times)
+    jax_warm = jax_times[0]
+    jax_s = sum(jax_times[1:]) / max(len(jax_times) - 1, 1)
 
     rays = cfg.batch_size
     print(f"torch reference step : {torch_s * 1e3:8.1f} ms "

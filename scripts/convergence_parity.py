@@ -28,8 +28,9 @@ import argparse
 import math
 import os
 import sys
+import time
 import types
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -264,7 +265,12 @@ def run_torch(cfg, mods, embeddings, ref_args, batches,
 
 
 # --------------------------------------------------------------- jax side
-def run_jax(cfg, variables, batches, steps_per_epoch: int) -> List[Dict]:
+def run_jax(cfg, variables, batches, steps_per_epoch: int,
+            step_times: Optional[list] = None) -> List[Dict]:
+    """step_times (optional list): appended with the wall seconds of each
+    step INCLUDING its device_get — pass it to time warm steps within one
+    jit instance (a fresh run_jax call rebuilds the jit and recompiles,
+    so cross-call timing measures compile, not steps)."""
     import jax
     import jax.numpy as jnp
 
@@ -287,8 +293,11 @@ def run_jax(cfg, variables, batches, steps_per_epoch: int) -> List[Dict]:
             k: jnp.asarray(v)
             for k, v in b.items() if k not in ("pixel_idx", "img_wh")
         }
+        t0 = time.perf_counter()
         state, m = step_fn(state, db)
         m = jax.device_get(m)
+        if step_times is not None:
+            step_times.append(time.perf_counter() - t0)
         records.append({k: float(v) for k, v in m.items()}
                        | {"step": step})
     return records

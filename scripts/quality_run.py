@@ -34,10 +34,15 @@ def main():
     ap.add_argument("--no-fast_sincos", dest="fast_sincos",
                     action="store_false")
     ap.add_argument("--compute_dtype", default="bfloat16")
-    ap.add_argument("--stash", action="store_true",
+    # stash/chunks FOLLOW the shipped Config defaults (stash on, chunks
+    # auto) so the unadorned invocation gates the production kernel path;
+    # --no-stash / --chunks N to A/B.
+    ap.add_argument("--stash", action="store_true", default=True,
                     help="stash-activations backward (pallas_stash)")
-    ap.add_argument("--chunks", type=int, default=1,
-                    help="gradient-accumulation chunks over grids")
+    ap.add_argument("--no-stash", dest="stash", action="store_false")
+    ap.add_argument("--chunks", type=int, default=0,
+                    help="gradient-accumulation chunks over grids "
+                         "(0 = Config auto rule)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--img_wh", type=int, nargs=2, default=(112, 84),
                     help="synthetic scene resolution (112x84 -> 55 "

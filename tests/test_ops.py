@@ -625,6 +625,20 @@ class TestRaysInFusedRender:
                 15, 4, s=16, rays_in=True, r_tile=24, r_tile_bwd=16
             )
 
+    def test_auto_tiles_valid_for_any_sample_count(self):
+        """Auto tile selection must stay sublane-aligned and mutually
+        divisible for NON-power-of-two sample counts (4096//192 = 21 —
+        neither; e.g. N_samples=64 + N_importance=128 gives fine s=192).
+        Regression: the factory used to raise its own divisibility error
+        at trace time for such configs."""
+        from crnerf_tpu.ops.fused_render import make_fused_render_train
+
+        for s in (24, 96, 160, 192, 320):
+            fn = make_fused_render_train(
+                15, 4, s=s, rays_in=True, stash=True, interpret=True
+            )
+            assert fn is not None
+
     def test_fast_encode_close_to_exact(self):
         """In-kernel anchored recurrence (exact_encode=False) vs exact —
         same error envelope as the stream fast_sincos ladder."""
