@@ -40,6 +40,13 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state, force: bool = False):
+        if force and step in (self.mgr.all_steps() or ()):
+            # orbax's force= only bypasses the save-interval policy — it
+            # still raises StepAlreadyExistsError for a step directory left
+            # by a previous run into the same exp dir. Overwrite semantics
+            # (re-training into an existing dir, reference Lightning
+            # behavior) require deleting the stale step first.
+            self.mgr.delete(step)
         self.mgr.save(
             step, args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)),
             force=force,

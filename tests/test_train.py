@@ -465,6 +465,31 @@ class TestCheckpoint:
         )
         mgr.close()
 
+    def test_force_overwrites_existing_step_across_managers(self, tmp_path):
+        """Re-training into an existing exp dir must OVERWRITE the same
+        global step, not crash: orbax's force= alone still raises
+        StepAlreadyExistsError for a step directory left by a previous
+        process (this bit the CLI drive; utils/checkpoint.py deletes the
+        stale step first)."""
+        from crnerf_tpu.utils.checkpoint import CheckpointManager
+
+        cfg = Config(**TINY)
+        system, tx, sched, state = _setup(cfg)
+        host = jax.device_get(state)
+        path = str(tmp_path / "ck_again")
+
+        mgr = CheckpointManager(path)
+        mgr.save(7, host)
+        mgr.close()
+
+        # fresh manager over the same directory = the re-run scenario
+        mgr2 = CheckpointManager(path)
+        newer = host.replace(step=np.asarray(123, np.int32))
+        mgr2.save(7, newer, force=True)
+        restored = mgr2.restore(host, step=7)
+        assert int(np.asarray(restored.step)) == 123
+        mgr2.close()
+
     def test_load_selective(self):
         from crnerf_tpu.utils.checkpoint import load_selective
 
