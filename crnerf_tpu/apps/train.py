@@ -29,15 +29,23 @@ def main(argv: Optional[Sequence[str]] = None):
         save_code(
             cfg.save_dir, cfg.exp_name, cfg.to_json(),
         )
-    logger = MetricLogger(
-        os.path.join(cfg.save_dir, "logs"), cfg.exp_name,
-        use_wandb=cfg.use_wandb, project=cfg.proj_name,
+    # metric sink on process 0 only (reference: Lightning's rank-zero
+    # WandbLogger); the Trainer treats logger=None as "don't log"
+    logger = (
+        MetricLogger(
+            os.path.join(cfg.save_dir, "logs"), cfg.exp_name,
+            use_wandb=cfg.use_wandb, project=cfg.proj_name,
+        )
+        if jax.process_index() == 0
+        else None
     )
     trainer = Trainer(cfg, scene, logger=logger)
     state = trainer.fit()
     val = trainer.validate()
-    print(f"final val: psnr={val['psnr']:.3f} ssim={val['ssim']:.4f}")
-    logger.close()
+    if jax.process_index() == 0:
+        print(f"final val: psnr={val['psnr']:.3f} ssim={val['ssim']:.4f}")
+    if logger is not None:
+        logger.close()
     return state
 
 

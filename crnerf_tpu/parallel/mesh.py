@@ -69,7 +69,12 @@ def shard_train_step(
 
 
 def put_global_batch(batch, mesh: Mesh):
-    """Host (D, ...) numpy batch -> device arrays sharded over 'data'."""
+    """Host (D, ...) numpy batch -> device arrays sharded over 'data'.
+
+    Multi-process: every process passes the SAME full global batch (cheap —
+    the pipeline is a pure function of (epoch, step, device)) and
+    ``device_put`` transfers only each process's addressable shards; no
+    host-side scatter is needed (verified by tests/test_multiprocess.py)."""
     sh = data_sharded(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 

@@ -191,15 +191,23 @@ class Trainer:
                     global_step,
                 )
             if (epoch + 1) % cfg.ckpt_every_epochs == 0 or is_last:
+                # EVERY process calls the orbax save: with process_count>1
+                # orbax coordinates through global barriers (a process-0-only
+                # call would deadlock) and itself writes replicated values
+                # from the primary host only — the reference's
+                # @rank_zero_only Lightning ModelCheckpoint semantics fall
+                # out of orbax, not out of a guard here.
                 host_state = jax.device_get(self.state)
                 # force=True: re-training into an existing exp dir
                 # overwrites same-step checkpoints instead of crashing
                 self.ckpt.save(global_step, host_state, force=True)
-                # inference bundle for the eval/video apps
-                save_weights_only(
-                    host_state,
-                    os.path.join(self.ckpt.directory, "weights.npz"),
-                )
+                if jax.process_index() == 0:
+                    # inference bundle for the eval/video apps: plain npz
+                    # host I/O, barrier-free, so process 0 alone writes it
+                    save_weights_only(
+                        host_state,
+                        os.path.join(self.ckpt.directory, "weights.npz"),
+                    )
         return self.state
 
     # ------------------------------------------------------- train panels

@@ -1,0 +1,118 @@
+"""Subprocess entry for tests/test_multiprocess.py: one process of a
+2-process jax.distributed CPU run driving the REAL Trainer end-to-end.
+
+This is the TPU-native answer to the reference's untested multi-GPU DDP
+(/root/reference/train_mask_grid_sample.py:445-447, SURVEY.md §2.9/§4):
+each process owns 2 virtual CPU devices, `make_mesh` spans all 4 global
+devices, batches are materialized identically on every process (the
+pipeline is a pure function of (epoch, step, device)) and `device_put`
+ships only the addressable shards. The run exercises:
+
+- shard_map training over a mesh that crosses a process boundary
+  (gradient psum + embedding-cache all_gather over "DCN"),
+- orbax checkpointing with process_count > 1 (collective save; primary
+  host writes) and a fresh-Trainer restore on all processes,
+- the sharded full-image validation render (features all-gathered),
+- process-0-only metric logging / weights.npz export.
+
+Writes a JSON result (params digest, val metrics, restored step) consumed
+by the asserting test.
+"""
+
+import argparse
+import hashlib
+import json
+import os
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--process_id", type=int, required=True)
+    p.add_argument("--num_processes", type=int, required=True)
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--local_devices", type=int, default=2)
+    a = p.parse_args()
+
+    # Platform pinning must precede the first backend init (see
+    # tests/conftest.py for why the env var alone is not enough here).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={a.local_devices}"
+    ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=a.coordinator,
+        num_processes=a.num_processes,
+        process_id=a.process_id,
+    )
+    assert jax.process_count() == a.num_processes
+    assert len(jax.local_devices()) == a.local_devices
+    assert len(jax.devices()) == a.num_processes * a.local_devices
+
+    import numpy as np
+
+    from crnerf_tpu.config import Config
+    from crnerf_tpu.data import make_synthetic_scene
+    from crnerf_tpu.train.loop import Trainer
+    from crnerf_tpu.utils.logging import MetricLogger
+
+    cfg = Config(
+        batch_size=16, N_samples=4, N_importance=4, netdepth=2,
+        netwidth=16, nerf_out_dim=8, N_vocab=10, appearance_wh=(32, 24),
+        chunk=256, num_epochs=1, lr=5e-4, save_dir=a.save_dir,
+        exp_name="mp", log_every=1, dataset_name="synthetic",
+        num_devices=0,  # all 4 global devices -> mesh crosses processes
+    )
+    scene = make_synthetic_scene(
+        appearance_wh=(32, 24), img_wh=(24, 18), n_train=2, n_test=1
+    )
+    # metric sink on process 0 only (mirrors apps/train.py)
+    logger = (
+        MetricLogger(os.path.join(a.save_dir, "logs"), cfg.exp_name)
+        if jax.process_index() == 0
+        else None
+    )
+    tr = Trainer(cfg, scene, logger=logger)
+    tr.fit()
+    val = tr.validate()
+    host = jax.device_get(tr.state)
+    digest = hashlib.sha256()
+    for leaf in jax.tree.leaves(host.params):
+        digest.update(np.ascontiguousarray(leaf).tobytes())
+    step = int(np.asarray(host.step))
+    ckpt_dir = tr.ckpt.directory
+    tr.ckpt.close()
+    if logger is not None:
+        logger.close()
+
+    # resume across processes: a fresh Trainer restores the orbax state on
+    # every process (restore is collective-safe: pure read of the shared
+    # directory into a replicated put)
+    tr2 = Trainer(cfg.replace(ckpt_path=ckpt_dir), scene, logger=None)
+    restored_step = int(np.asarray(jax.device_get(tr2.state.step)))
+    tr2.ckpt.close()
+
+    with open(a.out, "w") as f:
+        json.dump(
+            {
+                "process": a.process_id,
+                "step": step,
+                "restored_step": restored_step,
+                "val_psnr": float(val["psnr"]),
+                "val_ssim": float(val["ssim"]),
+                "params_sha": digest.hexdigest(),
+                "cache_writes": int(np.asarray(host.embedding_valid).sum()),
+                "is_proc0": jax.process_index() == 0,
+            },
+            f,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""True multi-process data parallelism: 2 jax.distributed CPU processes x
+2 virtual devices each run the REAL Trainer over one 4-device mesh.
+
+The single-process 8-device mesh tests (tests/test_train.py) prove the
+shard_map math; this proves the PROCESS-boundary concerns the reference
+leaves to Lightning DDP (SURVEY.md §2.9/§5.8): jax.distributed bring-up,
+global-batch device_put from host-identical copies, orbax collective
+checkpointing + restore with process_count > 1, and rank-zero-only logging
+(tests/multiprocess_worker.py has the worker-side detail).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(ROOT, "tests", "multiprocess_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_trainer(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # the worker sets its own per-process device count
+    env.pop("XLA_FLAGS", None)
+    save_dir = tmp_path / "run"  # shared dir, as on a real multi-host fs
+    procs, out_paths = [], []
+    for pid in range(2):
+        out = tmp_path / f"result_{pid}.json"
+        out_paths.append(out)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, WORKER,
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--process_id", str(pid),
+                    "--num_processes", "2",
+                    "--save_dir", str(save_dir),
+                    "--out", str(out),
+                ],
+                cwd=ROOT,
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    logs = []
+    try:
+        for p in procs:
+            log, _ = p.communicate(timeout=600)
+            logs.append(log)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), (
+        "worker failed:\n" + "\n=== next worker ===\n".join(logs)
+    )
+
+    r0, r1 = (json.loads(o.read_text()) for o in out_paths)
+    # replicated state is bit-identical across processes after psum'd steps
+    assert r0["params_sha"] == r1["params_sha"]
+    assert r0["step"] == r1["step"] > 0
+    # collective orbax save + restore round-trips on both processes
+    assert r0["restored_step"] == r1["restored_step"] == r0["step"]
+    # the sharded validation render agrees
+    assert r0["val_psnr"] == pytest.approx(r1["val_psnr"], abs=1e-3)
+    assert r0["val_psnr"] > 5.0
+    # appearance-cache writes happened (all_gather path crossed processes)
+    assert r0["cache_writes"] == r1["cache_writes"] > 0
+
+    # rank-zero artifacts exist exactly where process 0 put them
+    ckpt_dir = save_dir / "ckpts" / "mp"
+    assert (ckpt_dir / "weights.npz").exists()
+    assert (save_dir / "logs" / "mp" / "metrics.jsonl").exists()
