@@ -82,6 +82,9 @@ class Config:
     num_devices: int = 0  # 0 = use all local devices (reference --num_gpus)
     save_dir: str = "./results"
     ckpt_path: Optional[str] = None
+    auto_resume: bool = False  # resume from the exp dir's latest checkpoint
+    # if one exists (preemption recovery without a manual --ckpt_path; the
+    # reference's recovery is manual-only — SURVEY.md §5.3)
     prefixes_to_ignore: Tuple[str, ...] = ("loss",)
     exp_name: str = "debug"
     proj_name: str = "crnerf_tpu"
@@ -209,7 +212,7 @@ _BOOL_FIELDS = {
     "encode_a", "encode_c", "encode_random", "use_mask", "mse_on_appearance",
     "use_pallas", "pallas_train", "pallas_render", "pallas_interpret",
     "pallas_stash", "fast_sincos", "remat", "donate_state", "profile",
-    "use_wandb", "eval_bucket", "hoist_heads",
+    "use_wandb", "eval_bucket", "hoist_heads", "auto_resume",
 }
 
 

@@ -105,6 +105,11 @@ class Trainer:
 
         if cfg.ckpt_path:
             self.restore(cfg.ckpt_path)
+        elif cfg.auto_resume and self.ckpt.latest_step() is not None:
+            # preemption recovery: pick up the exp dir's latest checkpoint
+            # without a manual --ckpt_path (the reference's recovery is
+            # manual relaunch with resume_from_checkpoint — SURVEY.md §5.3)
+            self.restore()
 
     # ------------------------------------------------------------- resume
     def restore(self, path_or_dir: Optional[str] = None):

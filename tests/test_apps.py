@@ -323,6 +323,39 @@ class TestTrainerResume:
         # resumed fit() continues rather than restarting epoch 0
         assert tr2.fit() is not None
 
+    def test_auto_resume(self, tmp_path):
+        """auto_resume picks up the exp dir's latest checkpoint without a
+        manual --ckpt_path (preemption recovery; the reference only has
+        manual resume_from_checkpoint — SURVEY.md §5.3)."""
+        import jax
+
+        from crnerf_tpu.data import make_synthetic_scene
+        from crnerf_tpu.train.loop import Trainer
+
+        cfg = Config(
+            batch_size=16, N_samples=4, N_importance=4, netdepth=2,
+            netwidth=16, nerf_out_dim=8, N_vocab=10,
+            appearance_wh=(32, 24), chunk=256, num_epochs=1, lr=5e-4,
+            save_dir=str(tmp_path), exp_name="autores", log_every=1000,
+            dataset_name="synthetic", num_devices=1, auto_resume=True,
+        )
+        scene = make_synthetic_scene(
+            appearance_wh=(32, 24), img_wh=(24, 18), n_train=2, n_test=1
+        )
+        tr = Trainer(cfg, scene)
+        assert int(jax.device_get(tr.state.step)) == 0  # no ckpt yet
+        tr.fit()
+        step0 = int(jax.device_get(tr.state.step))
+        tr.ckpt.close()
+        # simulated relaunch after preemption: same cfg, no ckpt_path
+        tr2 = Trainer(cfg, scene)
+        assert int(jax.device_get(tr2.state.step)) == step0 > 0
+        tr2.ckpt.close()
+        # a different exp dir still starts fresh
+        tr3 = Trainer(cfg.replace(exp_name="autores2"), scene)
+        assert int(jax.device_get(tr3.state.step)) == 0
+        tr3.ckpt.close()
+
 
 class TestTrainPanels:
     def test_panels_written_during_fit(self, tmp_path):
