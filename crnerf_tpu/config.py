@@ -140,6 +140,9 @@ class Config:
         if self.grad_accum_chunks > 0:
             return self.grad_accum_chunks
         return 2 if (self.pallas_stash and self.grids_per_step >= 8) else 1
+    s2d_heads: bool = False  # space-to-depth schedule for the appearance
+    # encoder's wide 3x3 convs (identical math/params; MXU-utilization
+    # experiment — models/common.py s2d_conv3x3)
     fast_sincos: bool = True  # double-angle recurrence for the posenc
     # sin/cos sweep on the fused bf16 path (~F x fewer transcendentals;
     # error ~2^F * 1e-7 ~= 1.6e-3 at F=15, below bf16 quantization).
@@ -212,7 +215,7 @@ _BOOL_FIELDS = {
     "encode_a", "encode_c", "encode_random", "use_mask", "mse_on_appearance",
     "use_pallas", "pallas_train", "pallas_render", "pallas_interpret",
     "pallas_stash", "fast_sincos", "remat", "donate_state", "profile",
-    "use_wandb", "eval_bucket", "hoist_heads", "auto_resume",
+    "use_wandb", "eval_bucket", "hoist_heads", "auto_resume", "s2d_heads",
 }
 
 

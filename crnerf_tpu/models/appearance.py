@@ -29,19 +29,22 @@ class AppearanceEncoder(nn.Module):
     out_channel: int = 64
     pool_hw: int = 32
     dtype: jnp.dtype = jnp.float32  # conv compute dtype (params stay fp32)
+    s2d: bool = False  # space-to-depth schedule for the wide 3x3 convs
+    # (identical math/params — see models/common.py s2d_conv3x3)
 
     @nn.compact
     def __call__(self, x):
         """x: (N, H, W, 3) in [0, 1] -> (N, 32, 32, out_channel)."""
         dt = self.dtype
+        sd = self.s2d
         x = nn.Conv(3, (1, 1), name="conv1", dtype=dt)(x)
         x = leaky_relu(ConvRefl(64, name="conv2", dtype=dt)(x))
-        x = leaky_relu(ConvRefl(64, name="conv3", dtype=dt)(x))
+        x = leaky_relu(ConvRefl(64, name="conv3", dtype=dt, s2d=sd)(x))
         x = max_pool_2x2(x)
-        x = leaky_relu(ConvRefl(128, name="conv4", dtype=dt)(x))
-        x = leaky_relu(ConvRefl(128, name="conv5", dtype=dt)(x))
+        x = leaky_relu(ConvRefl(128, name="conv4", dtype=dt, s2d=sd)(x))
+        x = leaky_relu(ConvRefl(128, name="conv5", dtype=dt, s2d=sd)(x))
         x = max_pool_2x2(x)
-        x = leaky_relu(ConvRefl(128, name="conv6", dtype=dt)(x))
+        x = leaky_relu(ConvRefl(128, name="conv6", dtype=dt, s2d=sd)(x))
         x = adaptive_avg_pool2d(x, (self.pool_hw, self.pool_hw))
         x = nn.Conv(self.out_channel, (1, 1), name="conv7", dtype=dt)(x)
         return leaky_relu(x).astype(jnp.float32)

@@ -33,17 +33,114 @@ def reflect_pad(x, pad: int = 1):
     )
 
 
+def _s2d(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel order (p, q, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _d2s(y):
+    """Inverse of _s2d for (p, q, f)-ordered output phases."""
+    b, i, j, cf = y.shape
+    f = cf // 4
+    y = y.reshape(b, i, j, 2, 2, f)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * i, 2 * j, f)
+
+
+def _s2d_assembly() -> np.ndarray:
+    """Static 0/1 tensor A[dy, dx, r, s, p', q', p, q] scattering a 3x3
+    kernel into the S2D 2x2 kernel: tap (dy, dx) lands at S2D offset
+    (r, s), input phase (p', q'), output phase (p, q) iff
+    dy == 2r + p' - p and dx == 2s + q' - q."""
+    A = np.zeros((3, 3, 2, 2, 2, 2, 2, 2), np.float32)
+    for r in range(2):
+        for s in range(2):
+            for pp in range(2):
+                for qq in range(2):
+                    for p in range(2):
+                        for q in range(2):
+                            dy = 2 * r + pp - p
+                            dx = 2 * s + qq - q
+                            if 0 <= dy <= 2 and 0 <= dx <= 2:
+                                A[dy, dx, r, s, pp, qq, p, q] = 1.0
+    return A
+
+
+def s2d_conv3x3(x, kernel, bias=None):
+    """reflect-pad-1 + VALID 3x3 conv computed in space-to-depth form:
+    a 2x2 conv on (H/2, W/2, 4C) with a (2, 2, 4C, 4F) packed kernel.
+
+    Exactly the same math (scripts/spike_s2d.py proves fwd/dgrad/wgrad
+    equivalence); the point is MXU utilization — 64/128-channel 3x3 convs
+    under-fill the 128x128 systolic array (14-25% measured for the conv
+    heads), while the packed form contracts over 4C with 4F outputs at
+    16/9 the FLOPs. Net measured win on the bench head shapes decides the
+    config default (Config.s2d_heads)."""
+    c, f = kernel.shape[2], kernel.shape[3]
+    A = jnp.asarray(_s2d_assembly(), kernel.dtype)
+    k2 = jnp.einsum("yxcf,yxrsabpq->rsabcpqf", kernel, A)
+    k2 = k2.reshape(2, 2, 4 * c, 4 * f)
+    xp = reflect_pad(x, 1)  # H, W even -> padded dims even
+    y = jax.lax.conv_general_dilated(
+        _s2d(xp), k2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = _d2s(y)
+    return out if bias is None else out + bias
+
+
+class _ConvParams(nn.Module):
+    """Param-compatible stand-in for ``nn.Conv`` (same child names/shapes/
+    inits) that exposes the raw kernel/bias to a custom apply path."""
+
+    features: int
+    kernel: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, x, apply_fn):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        return apply_fn(x, k, b)
+
+
 class ConvRefl(nn.Module):
     """Reflection-pad + VALID conv — the reference's ReflectionPad2d+Conv2d
-    pairs (linearStyleTransfer.py:101-126 and friends)."""
+    pairs (linearStyleTransfer.py:101-126 and friends).
+
+    ``s2d=True`` computes 3x3 convs on even-sized maps in space-to-depth
+    form (see s2d_conv3x3) — identical params and math, different
+    schedule on the MXU."""
 
     features: int
     kernel: int = 3
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
+        use_s2d = (
+            self.s2d and self.kernel == 3
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        )
+        if use_s2d:
+            def apply_fn(x_, k, b):
+                x_, k, b = nn.dtypes.promote_dtype(
+                    x_, k, b, dtype=self.dtype
+                )
+                return s2d_conv3x3(x_, k, b)
+
+            return _ConvParams(
+                self.features, self.kernel, self.use_bias, name="Conv_0"
+            )(x, apply_fn)
         p = (self.kernel - 1) // 2
         if p:
             x = reflect_pad(x, p)

@@ -169,6 +169,43 @@ class TestAppearance:
             out = m.apply(params, jax.random.uniform(KEY, (1, *hw, 3)))
             assert out.shape == (1, 32, 32, 64)
 
+    def test_encoder_s2d_schedule_identical(self):
+        """s2d=True is the SAME function (params, math) on even-sized maps
+        — only the MXU schedule differs (models/common.py s2d_conv3x3).
+        Params initialized under one variant drive the other; outputs and
+        parameter gradients must agree."""
+        import jax.numpy as jnp
+
+        m0 = AppearanceEncoder(out_channel=64)
+        m1 = AppearanceEncoder(out_channel=64, s2d=True)
+        x = jax.random.uniform(KEY, (2, 96, 128, 3))
+        params = m0.init(KEY, x)
+        # identical param trees (names + shapes)
+        p1 = m1.init(KEY, x)
+        assert jax.tree.map(jnp.shape, params) == jax.tree.map(
+            jnp.shape, p1
+        )
+        out0 = m0.apply(params, x)
+        out1 = m1.apply(params, x)
+        np.testing.assert_allclose(out0, out1, atol=2e-5)
+        g0 = jax.grad(lambda p: jnp.sum(m0.apply(p, x) ** 2))(params)
+        g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x) ** 2))(params)
+        # fp reassociation can flip a maxpool argmax / leaky boundary and
+        # reroute the gradient at isolated pixels, so allow a tiny outlier
+        # fraction; the single-layer fwd/dgrad/wgrad exactness is pinned at
+        # 1e-4/1e-3 in scripts/spike_s2d.py check_exact
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            a, b = np.asarray(a), np.asarray(b)
+            rel_fro = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+            assert rel_fro < 1e-3, rel_fro
+            bad = np.abs(a - b) > 1e-2 + 1e-2 * np.abs(b)
+            assert bad.mean() < 1e-3, bad.mean()
+        # odd input sizes fall back to the plain conv path
+        xo = jax.random.uniform(KEY, (1, 91, 125, 3))
+        np.testing.assert_allclose(
+            m0.apply(params, xo), m1.apply(params, xo), atol=2e-5
+        )
+
     def test_legacy_encoder3_decoder3(self):
         e = Encoder3()
         x = jax.random.uniform(KEY, (1, 64, 64, 3))
