@@ -39,11 +39,46 @@ def main(argv: Optional[Sequence[str]] = None):
         if jax.process_index() == 0
         else None
     )
+    # graceful preemption: SIGTERM/SIGINT checkpoints after the in-flight
+    # step and exits cleanly; relaunching with --auto_resume (or the same
+    # --ckpt_path) continues mid-epoch exactly (Trainer.request_stop).
+    # Installed BEFORE the (minutes-long on TPU) Trainer construction and
+    # step compile so a signal in that window still exits promptly —
+    # nothing to checkpoint yet.
+    import signal
+
+    prev, holder = {}, {}
+
+    def _graceful(signum, frame):
+        t = holder.get("trainer")
+        if t is None:
+            raise SystemExit(0)  # still building: no progress to save
+        t.request_stop()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev[sig] = signal.signal(sig, _graceful)
+        except ValueError:  # not the main thread (embedded use)
+            pass
+
     trainer = Trainer(cfg, scene, logger=logger)
+    holder["trainer"] = trainer
+
     state = trainer.fit()
-    val = trainer.validate()
-    if jax.process_index() == 0:
-        print(f"final val: psnr={val['psnr']:.3f} ssim={val['ssim']:.4f}")
+    for sig, h in prev.items():
+        signal.signal(sig, h)
+    if trainer.stopped:
+        # preempted: the checkpoint is saved; skip the final full-image
+        # validation render (its compile can outlast a grace window)
+        if jax.process_index() == 0:
+            step = int(jax.device_get(state.step))
+            print(f"preempted: checkpointed at step {step}")
+    else:
+        val = trainer.validate()
+        if jax.process_index() == 0:
+            print(
+                f"final val: psnr={val['psnr']:.3f} ssim={val['ssim']:.4f}"
+            )
     if logger is not None:
         logger.close()
     return state

@@ -91,6 +91,7 @@ class TrainPipeline:
         prefetch: int = 2,
         n_steps: Optional[int] = None,
         grids_per_device: int = 1,
+        start_step: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Thread-prefetched global batches for one epoch. Host assembly
         (gather from the flat ray buffer) overlaps device compute —
@@ -98,7 +99,11 @@ class TrainPipeline:
 
         Shapes: flat (B, ...) when n_devices == grids_per_device == 1;
         (G, B, ...) single-device multi-grid; (D, B...) multi-device; and
-        (D, G, B, ...) for both."""
+        (D, G, B, ...) for both.
+
+        ``start_step`` skips the first batches of the epoch — batches are
+        a pure function of (epoch, step), so a mid-epoch resume replays
+        the exact remaining sequence (Trainer preemption recovery)."""
         g = max(1, grids_per_device)
         total = n_devices * g
         if n_steps is None:
@@ -107,7 +112,7 @@ class TrainPipeline:
         stop = threading.Event()
 
         def producer():
-            for i in range(n_steps):
+            for i in range(start_step, n_steps):
                 if stop.is_set():
                     return
                 if total > 1:

@@ -102,6 +102,7 @@ class Trainer:
         ckpt_dir = os.path.join(cfg.save_dir, "ckpts", cfg.exp_name)
         self.ckpt = CheckpointManager(ckpt_dir)
         self._render_cache: Dict[Tuple[int, int], callable] = {}
+        self._stop_requested = False
 
         if cfg.ckpt_path:
             self.restore(cfg.ckpt_path)
@@ -110,6 +111,11 @@ class Trainer:
             # without a manual --ckpt_path (the reference's recovery is
             # manual relaunch with resume_from_checkpoint — SURVEY.md §5.3)
             self.restore()
+
+    @property
+    def stopped(self) -> bool:
+        """True once request_stop() interrupted fit()."""
+        return self._stop_requested
 
     # ------------------------------------------------------------- resume
     def restore(self, path_or_dir: Optional[str] = None):
@@ -127,6 +133,35 @@ class Trainer:
             mgr.restore(jax.tree.map(np.asarray, self.state)), self.mesh
         )
 
+    # ----------------------------------------------------- graceful stop
+    def request_stop(self):
+        """Ask fit() to checkpoint after the in-flight step and return —
+        preemption recovery (apps/train wires SIGTERM/SIGINT here; the
+        platform delivers the signal to every process, so the collective
+        checkpoint save is safe). Resume is EXACT: batches are a pure
+        function of (epoch, step), so a restored run replays the remaining
+        mid-epoch sequence (the reference loses any mid-epoch progress —
+        SURVEY.md §5.3)."""
+        self._stop_requested = True
+
+    def _save_checkpoint(self, global_step: int):
+        # EVERY process calls the orbax save: with process_count>1 orbax
+        # coordinates through global barriers (a process-0-only call would
+        # deadlock) and itself writes replicated values from the primary
+        # host only — the reference's @rank_zero_only Lightning
+        # ModelCheckpoint semantics fall out of orbax, not a guard here.
+        host_state = jax.device_get(self.state)
+        # force=True: re-training into an existing exp dir overwrites
+        # same-step checkpoints instead of crashing
+        self.ckpt.save(global_step, host_state, force=True)
+        if jax.process_index() == 0:
+            # inference bundle for the eval/video apps: plain npz host
+            # I/O, barrier-free, so process 0 alone writes it
+            save_weights_only(
+                host_state,
+                os.path.join(self.ckpt.directory, "weights.npz"),
+            )
+
     # -------------------------------------------------------------- train
     def fit(self, num_epochs: Optional[int] = None):
         cfg = self.cfg
@@ -134,11 +169,15 @@ class Trainer:
         global_step = int(jax.device_get(self.state.step))
         start_epoch = global_step // self.iters_per_epoch
         for epoch in range(start_epoch, epochs):
+            if self._stop_requested:  # signal landed before/between epochs
+                self._save_checkpoint(global_step)
+                return self.state
             t_ep = time.time()
             n_rays_done = 0
             for batch in self.pipeline.epoch_batches(
                 epoch, self.n_devices, n_steps=self.iters_per_epoch,
                 grids_per_device=self.grids,
+                start_step=global_step - epoch * self.iters_per_epoch,
             ):
                 if self.n_devices > 1:
                     batch = put_global_batch(batch, self.mesh)
@@ -177,6 +216,11 @@ class Trainer:
                     m = {f"train/{k}" if "/" not in k else k: v
                          for k, v in jax.device_get(metrics).items()}
                     self.logger.log(m, global_step)
+                if self._stop_requested:
+                    break
+            if self._stop_requested:
+                self._save_checkpoint(global_step)
+                return self.state
             dt = time.time() - t_ep
             if self.logger:
                 self.logger.log(
@@ -196,23 +240,7 @@ class Trainer:
                     global_step,
                 )
             if (epoch + 1) % cfg.ckpt_every_epochs == 0 or is_last:
-                # EVERY process calls the orbax save: with process_count>1
-                # orbax coordinates through global barriers (a process-0-only
-                # call would deadlock) and itself writes replicated values
-                # from the primary host only — the reference's
-                # @rank_zero_only Lightning ModelCheckpoint semantics fall
-                # out of orbax, not out of a guard here.
-                host_state = jax.device_get(self.state)
-                # force=True: re-training into an existing exp dir
-                # overwrites same-step checkpoints instead of crashing
-                self.ckpt.save(global_step, host_state, force=True)
-                if jax.process_index() == 0:
-                    # inference bundle for the eval/video apps: plain npz
-                    # host I/O, barrier-free, so process 0 alone writes it
-                    save_weights_only(
-                        host_state,
-                        os.path.join(self.ckpt.directory, "weights.npz"),
-                    )
+                self._save_checkpoint(global_step)
         return self.state
 
     # ------------------------------------------------------- train panels

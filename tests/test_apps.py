@@ -323,6 +323,66 @@ class TestTrainerResume:
         # resumed fit() continues rather than restarting epoch 0
         assert tr2.fit() is not None
 
+    def test_preemption_stop_resume_is_exact(self, tmp_path):
+        """request_stop checkpoints mid-epoch; a resumed run replays the
+        REMAINING (epoch, step) batch sequence and ends bitwise-identical
+        to an uninterrupted run — preemption-transparent training (the
+        reference loses all mid-epoch progress — SURVEY.md §5.3)."""
+        import jax
+        import numpy as np
+
+        from crnerf_tpu.data import make_synthetic_scene
+        from crnerf_tpu.train.loop import Trainer
+
+        def mkcfg(name):
+            return Config(
+                batch_size=16, N_samples=4, N_importance=4, netdepth=2,
+                netwidth=16, nerf_out_dim=8, N_vocab=10,
+                appearance_wh=(32, 24), chunk=256, num_epochs=1, lr=5e-4,
+                save_dir=str(tmp_path), exp_name=name, log_every=1000,
+                dataset_name="synthetic", num_devices=1,
+            )
+
+        scene = make_synthetic_scene(
+            appearance_wh=(32, 24), img_wh=(24, 18), n_train=2, n_test=1
+        )
+        # uninterrupted run
+        tr_a = Trainer(mkcfg("uninterrupted"), scene)
+        tr_a.fit()
+        ref_leaves = jax.tree.leaves(jax.device_get(tr_a.state))
+        full_steps = int(jax.device_get(tr_a.state.step))
+        assert full_steps >= 4
+        tr_a.ckpt.close()
+
+        # interrupted at step 3 of the epoch
+        tr_b = Trainer(mkcfg("preempted"), scene)
+        orig_step, seen = tr_b.step_fn, {"n": 0}
+
+        def step_and_preempt(state, batch):
+            out = orig_step(state, batch)
+            seen["n"] += 1
+            if seen["n"] == 3:
+                tr_b.request_stop()  # what the SIGTERM handler calls
+            return out
+
+        tr_b.step_fn = step_and_preempt
+        tr_b.fit()
+        assert int(jax.device_get(tr_b.state.step)) == 3
+        ckpt_dir = tr_b.ckpt.directory
+        assert tr_b.ckpt.latest_step() == 3  # checkpointed at the stop
+        tr_b.ckpt.close()
+
+        # relaunch: finishes the interrupted epoch from step 3
+        tr_c = Trainer(mkcfg("preempted").replace(ckpt_path=ckpt_dir),
+                       scene)
+        tr_c.fit()
+        assert int(jax.device_get(tr_c.state.step)) == full_steps
+        for a, b in zip(
+            ref_leaves, jax.tree.leaves(jax.device_get(tr_c.state))
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        tr_c.ckpt.close()
+
     def test_auto_resume(self, tmp_path):
         """auto_resume picks up the exp dir's latest checkpoint without a
         manual --ckpt_path (preemption recovery; the reference only has
