@@ -31,7 +31,41 @@ K_STEPS = 10
 N_STAGED = 4
 
 
+def _wait_for_backend(tries: int = 5, wait_s: int = 60,
+                      probe_timeout: int = 300):
+    """The axon TPU tunnel intermittently reports UNAVAILABLE at backend
+    init, and jax caches an init failure for the life of the process — so
+    probe in a SUBPROCESS until the backend comes up, then init here."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return  # a host backend can't be down (note: the env var alone
+        # doesn't steer THIS process — callers on CPU also set
+        # jax.config; the probe is only for the flaky TPU tunnel)
+
+    for i in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_timeout,
+            )
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            err = err[-1] if err else "?"
+        except subprocess.TimeoutExpired:
+            err = "probe timed out"
+        if i == tries - 1:
+            break  # let the real init raise the full error
+        print(f"# backend probe failed ({err}); retry {i + 1}/{tries} "
+              f"in {wait_s}s", flush=True)
+        time.sleep(wait_s)
+
+
 def main():
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 
