@@ -96,6 +96,9 @@ def main():
                                                  "1"))),
             grad_accum_chunks=int(os.environ.get("CRNERF_BENCH_CHUNKS",
                                                  "0")),
+            # space-to-depth conv schedule for the appearance heads
+            # (CRNERF_BENCH_S2D=1 to A/B; default follows Config)
+            s2d_heads=bool(int(os.environ.get("CRNERF_BENCH_S2D", "0"))),
         )
     else:  # CI fallback so the line always prints
         cfg = Config(
