@@ -42,31 +42,47 @@ def main(argv: Optional[Sequence[str]] = None):
     # graceful preemption: SIGTERM/SIGINT checkpoints after the in-flight
     # step and exits cleanly; relaunching with --auto_resume (or the same
     # --ckpt_path) continues mid-epoch exactly (Trainer.request_stop).
-    # Installed BEFORE the (minutes-long on TPU) Trainer construction and
-    # step compile so a signal in that window still exits promptly —
-    # nothing to checkpoint yet.
+    # Installed BEFORE the (minutes-long on TPU) Trainer construction so a
+    # signal in that window still exits promptly. Single-process only: in
+    # multi-process runs jax.distributed's preemption sync manager owns
+    # SIGTERM and the Trainer polls the cross-process sync point every
+    # step (Trainer._should_stop) — a per-process flag would desync the
+    # collectives.
     import signal
 
     prev, holder = {}, {}
 
     def _graceful(signum, frame):
         t = holder.get("trainer")
-        if t is None:
-            raise SystemExit(0)  # still building: no progress to save
+        if t is None or not t.has_unsaved_progress:
+            # still building / compiling, or everything is already on
+            # disk: exit NOW (os._exit — the main thread may be blocked
+            # inside a minutes-long XLA compile where a Python-level
+            # SystemExit wouldn't fire until it returns)
+            os._exit(0)
+        if t.stopped:
+            # second signal while the graceful stop is in flight: the
+            # operator/scheduler means it — hard exit (also restores
+            # ctrl-C-twice semantics)
+            os._exit(128 + signum)
         t.request_stop()
 
-    for sig in (signal.SIGTERM, signal.SIGINT):
-        try:
-            prev[sig] = signal.signal(sig, _graceful)
-        except ValueError:  # not the main thread (embedded use)
-            pass
+    if jax.process_count() == 1:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev[sig] = signal.signal(sig, _graceful)
+            except ValueError:  # not the main thread (embedded use)
+                pass
 
     trainer = Trainer(cfg, scene, logger=logger)
     holder["trainer"] = trainer
 
-    state = trainer.fit()
-    for sig, h in prev.items():
-        signal.signal(sig, h)
+    try:
+        state = trainer.fit()
+    finally:
+        for sig, h in prev.items():
+            if h is not None:  # None = non-Python handler; can't restore
+                signal.signal(sig, h)
     if trainer.stopped:
         # preempted: the checkpoint is saved; skip the final full-image
         # validation render (its compile can outlast a grace window)

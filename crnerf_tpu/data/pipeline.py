@@ -137,6 +137,16 @@ class TrainPipeline:
                 yield b
         finally:
             stop.set()
+            # a consumer that breaks early (preemption stop) can leave the
+            # producer blocked in q.put on the full queue, where it never
+            # sees the stop Event — drain so it unblocks, re-checks stop,
+            # and exits (otherwise each stopped fit() leaks a thread
+            # pinning scene-sized batches)
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def full_image_batch(scene: Scene, image, appearance_img=None):

@@ -103,6 +103,17 @@ class Trainer:
         self.ckpt = CheckpointManager(ckpt_dir)
         self._render_cache: Dict[Tuple[int, int], callable] = {}
         self._stop_requested = False
+        # step of the checkpoint this process last wrote (or restored):
+        # skipping a same-step re-save is safe (identical state) and keeps
+        # the stop path from entering orbax's delete-then-rewrite window,
+        # where a SIGKILL mid-grace-period would destroy the newest
+        # checkpoint. Re-training into an existing exp dir from a FRESH
+        # state still overwrites (different process, attribute is None).
+        self._last_saved_step: Optional[int] = None
+        # host-side count of steps executed since the last save — plain
+        # int bookkeeping so a signal handler can read it without touching
+        # device state (apps/train exits immediately when 0)
+        self._progress_steps = 0
 
         if cfg.ckpt_path:
             self.restore(cfg.ckpt_path)
@@ -116,6 +127,12 @@ class Trainer:
     def stopped(self) -> bool:
         """True once request_stop() interrupted fit()."""
         return self._stop_requested
+
+    @property
+    def has_unsaved_progress(self) -> bool:
+        """Steps executed since the last checkpoint write (host-side int —
+        signal-handler safe)."""
+        return self._progress_steps > 0
 
     # ------------------------------------------------------------- resume
     def restore(self, path_or_dir: Optional[str] = None):
@@ -132,19 +149,52 @@ class Trainer:
         self.state = put_replicated(
             mgr.restore(jax.tree.map(np.asarray, self.state)), self.mesh
         )
+        # the on-disk checkpoint already equals this state — a stop before
+        # any new step must not re-save (see _last_saved_step)
+        if same:
+            self._last_saved_step = self.ckpt.latest_step()
 
     # ----------------------------------------------------- graceful stop
     def request_stop(self):
         """Ask fit() to checkpoint after the in-flight step and return —
-        preemption recovery (apps/train wires SIGTERM/SIGINT here; the
-        platform delivers the signal to every process, so the collective
-        checkpoint save is safe). Resume is EXACT: batches are a pure
-        function of (epoch, step), so a restored run replays the remaining
+        preemption recovery (apps/train wires SIGTERM/SIGINT here in
+        single-process runs). Resume is EXACT: batches are a pure function
+        of (epoch, step), so a restored run replays the remaining
         mid-epoch sequence (the reference loses any mid-epoch progress —
-        SURVEY.md §5.3)."""
+        SURVEY.md §5.3).
+
+        Multi-process: do NOT call this from per-process signal handlers —
+        a flag that flips at different step boundaries on different
+        processes desynchronizes the collectives (deadlock). Preemption is
+        instead agreed through jax's preemption sync point, which fit()
+        polls every step (_should_stop); the cluster's SIGTERM is consumed
+        by jax.distributed's sync manager."""
         self._stop_requested = True
 
+    def clear_stop(self):
+        """Re-arm a Trainer whose fit() was stopped (the flag is sticky so
+        callers can distinguish a preempted fit from a completed one)."""
+        self._stop_requested = False
+
+    def _should_stop(self, global_step: int) -> bool:
+        if jax.process_count() > 1:
+            try:
+                from jax.experimental import multihost_utils
+
+                # cross-process agreement: returns True at the SAME step
+                # on every process once any process got the cluster's
+                # preemption notice (SIGTERM to jax.distributed)
+                if multihost_utils.reached_preemption_sync_point(
+                    global_step
+                ):
+                    self._stop_requested = True
+            except RuntimeError:
+                pass  # no sync manager (older runtime) — local flag only
+        return self._stop_requested
+
     def _save_checkpoint(self, global_step: int):
+        if self._last_saved_step == global_step:
+            return  # identical state already on disk (see __init__)
         # EVERY process calls the orbax save: with process_count>1 orbax
         # coordinates through global barriers (a process-0-only call would
         # deadlock) and itself writes replicated values from the primary
@@ -154,6 +204,8 @@ class Trainer:
         # force=True: re-training into an existing exp dir overwrites
         # same-step checkpoints instead of crashing
         self.ckpt.save(global_step, host_state, force=True)
+        self._last_saved_step = global_step
+        self._progress_steps = 0
         if jax.process_index() == 0:
             # inference bundle for the eval/video apps: plain npz host
             # I/O, barrier-free, so process 0 alone writes it
@@ -169,7 +221,10 @@ class Trainer:
         global_step = int(jax.device_get(self.state.step))
         start_epoch = global_step // self.iters_per_epoch
         for epoch in range(start_epoch, epochs):
-            if self._stop_requested:  # signal landed before/between epochs
+            # plain local flag here (signals between construction and fit /
+            # between epochs); the preemption SYNC POINT is only polled in
+            # the step loop, once per strictly-increasing step id
+            if self._stop_requested:
                 self._save_checkpoint(global_step)
                 return self.state
             t_ep = time.time()
@@ -195,6 +250,7 @@ class Trainer:
                     )
                 self.state, metrics = self.step_fn(self.state, batch)
                 global_step += 1
+                self._progress_steps += 1
                 if (
                     self.logger
                     and cfg.img_panel_every > 0
@@ -216,7 +272,7 @@ class Trainer:
                     m = {f"train/{k}" if "/" not in k else k: v
                          for k, v in jax.device_get(metrics).items()}
                     self.logger.log(m, global_step)
-                if self._stop_requested:
+                if self._should_stop(global_step):
                     break
             if self._stop_requested:
                 self._save_checkpoint(global_step)
@@ -241,6 +297,9 @@ class Trainer:
                 )
             if (epoch + 1) % cfg.ckpt_every_epochs == 0 or is_last:
                 self._save_checkpoint(global_step)
+        # ran to natural completion: a signal that landed during the final
+        # validate/save came too late to matter — don't report "preempted"
+        self._stop_requested = False
         return self.state
 
     # ------------------------------------------------------- train panels

@@ -33,6 +33,11 @@ def main():
     p.add_argument("--save_dir", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--local_devices", type=int, default=2)
+    p.add_argument("--preempt_at", type=int, default=0,
+                   help="after N steps, process 0 SIGTERMs itself — the "
+                        "cluster-style preemption notice; jax's sync "
+                        "manager propagates it and BOTH processes must "
+                        "stop at the same agreed step")
     a = p.parse_args()
 
     # Platform pinning must precede the first backend init (see
@@ -65,7 +70,8 @@ def main():
     cfg = Config(
         batch_size=16, N_samples=4, N_importance=4, netdepth=2,
         netwidth=16, nerf_out_dim=8, N_vocab=10, appearance_wh=(32, 24),
-        chunk=256, num_epochs=1, lr=5e-4, save_dir=a.save_dir,
+        chunk=256, num_epochs=50 if a.preempt_at else 1, lr=5e-4,
+        save_dir=a.save_dir,
         exp_name="mp", log_every=1, dataset_name="synthetic",
         num_devices=0,  # all 4 global devices -> mesh crosses processes
     )
@@ -79,8 +85,26 @@ def main():
         else None
     )
     tr = Trainer(cfg, scene, logger=logger)
+    if a.preempt_at:
+        import signal
+
+        orig_step, seen = tr.step_fn, {"n": 0}
+
+        def step_then_notice(state, batch):
+            out = orig_step(state, batch)
+            seen["n"] += 1
+            if a.process_id == 0 and seen["n"] == a.preempt_at:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return out
+
+        tr.step_fn = step_then_notice
     tr.fit()
-    val = tr.validate()
+    # both processes stop (or finish) together, so this branch is
+    # consistent across the collective
+    val = (
+        {"psnr": float("nan"), "ssim": float("nan")}
+        if tr.stopped else tr.validate()
+    )
     host = jax.device_get(tr.state)
     digest = hashlib.sha256()
     for leaf in jax.tree.leaves(host.params):
@@ -109,6 +133,7 @@ def main():
                 "params_sha": digest.hexdigest(),
                 "cache_writes": int(np.asarray(host.embedding_valid).sum()),
                 "is_proc0": jax.process_index() == 0,
+                "stopped": bool(tr.stopped),
             },
             f,
         )

@@ -29,8 +29,7 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.slow
-def test_two_process_trainer(tmp_path):
+def _run_workers(tmp_path, extra_args=()):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -50,6 +49,7 @@ def test_two_process_trainer(tmp_path):
                     "--num_processes", "2",
                     "--save_dir", str(save_dir),
                     "--out", str(out),
+                    *extra_args,
                 ],
                 cwd=ROOT,
                 env=env,
@@ -70,8 +70,13 @@ def test_two_process_trainer(tmp_path):
     assert all(p.returncode == 0 for p in procs), (
         "worker failed:\n" + "\n=== next worker ===\n".join(logs)
     )
-
     r0, r1 = (json.loads(o.read_text()) for o in out_paths)
+    return r0, r1, save_dir
+
+
+@pytest.mark.slow
+def test_two_process_trainer(tmp_path):
+    r0, r1, save_dir = _run_workers(tmp_path)
     # replicated state is bit-identical across processes after psum'd steps
     assert r0["params_sha"] == r1["params_sha"]
     assert r0["step"] == r1["step"] > 0
@@ -87,3 +92,21 @@ def test_two_process_trainer(tmp_path):
     ckpt_dir = save_dir / "ckpts" / "mp"
     assert (ckpt_dir / "weights.npz").exists()
     assert (save_dir / "logs" / "mp" / "metrics.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_two_process_preemption_sync(tmp_path):
+    """Cluster-style preemption across processes: SIGTERM lands on ONE
+    process; jax.distributed's sync manager propagates the notice, both
+    processes agree on the SAME stop step (Trainer._should_stop polls the
+    preemption sync point every step — a per-process flag would desync
+    the collectives), checkpoint collectively, and exit 0. Restore works
+    on both."""
+    r0, r1, save_dir = _run_workers(tmp_path, ("--preempt_at", "5"))
+    assert r0["stopped"] and r1["stopped"]
+    # the agreed stop step is identical and past the notice step
+    assert r0["step"] == r1["step"] >= 5
+    assert r0["params_sha"] == r1["params_sha"]
+    # the preemption checkpoint restores on both processes
+    assert r0["restored_step"] == r1["restored_step"] == r0["step"]
+    assert (save_dir / "ckpts" / "mp" / "weights.npz").exists()
