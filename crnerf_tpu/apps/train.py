@@ -54,17 +54,18 @@ def main(argv: Optional[Sequence[str]] = None):
 
     def _graceful(signum, frame):
         t = holder.get("trainer")
+        if t is not None and t.stopped:
+            # second signal while a graceful stop is in flight (checked
+            # FIRST — the stop's checkpoint may already have zeroed the
+            # progress counter): the operator/scheduler means it — hard
+            # exit with signal semantics, ctrl-C-twice style
+            os._exit(128 + signum)
         if t is None or not t.has_unsaved_progress:
             # still building / compiling, or everything is already on
             # disk: exit NOW (os._exit — the main thread may be blocked
             # inside a minutes-long XLA compile where a Python-level
             # SystemExit wouldn't fire until it returns)
             os._exit(0)
-        if t.stopped:
-            # second signal while the graceful stop is in flight: the
-            # operator/scheduler means it — hard exit (also restores
-            # ctrl-C-twice semantics)
-            os._exit(128 + signum)
         t.request_stop()
 
     if jax.process_count() == 1:
@@ -84,11 +85,16 @@ def main(argv: Optional[Sequence[str]] = None):
             if h is not None:  # None = non-Python handler; can't restore
                 signal.signal(sig, h)
     if trainer.stopped:
-        # preempted: the checkpoint is saved; skip the final full-image
-        # validation render (its compile can outlast a grace window)
+        # a stop was requested: skip the (deadline-unsafe) extra
+        # validation render even when training actually finished — the
+        # checkpoint is saved either way
         if jax.process_index() == 0:
             step = int(jax.device_get(state.step))
-            print(f"preempted: checkpointed at step {step}")
+            what = (
+                "training complete; stop signal honored"
+                if trainer.completed else "preempted"
+            )
+            print(f"{what}: checkpointed at step {step}")
     else:
         val = trainer.validate()
         if jax.process_index() == 0:

@@ -114,6 +114,8 @@ class Trainer:
         # int bookkeeping so a signal handler can read it without touching
         # device state (apps/train exits immediately when 0)
         self._progress_steps = 0
+        self._completed = False  # fit() ran all epochs to the end
+        self._preemption_sync_broken = False  # warn-once latch
 
         if cfg.ckpt_path:
             self.restore(cfg.ckpt_path)
@@ -125,8 +127,16 @@ class Trainer:
 
     @property
     def stopped(self) -> bool:
-        """True once request_stop() interrupted fit()."""
+        """True once a stop was requested (sticky; see clear_stop)."""
         return self._stop_requested
+
+    @property
+    def completed(self) -> bool:
+        """True once fit() ran every epoch to the natural end. With
+        ``stopped`` this disambiguates a too-late signal (training done,
+        skip any further deadline-unsafe work) from a mid-training
+        preemption."""
+        return self._completed
 
     @property
     def has_unsaved_progress(self) -> bool:
@@ -177,7 +187,7 @@ class Trainer:
         self._stop_requested = False
 
     def _should_stop(self, global_step: int) -> bool:
-        if jax.process_count() > 1:
+        if jax.process_count() > 1 and not self._preemption_sync_broken:
             try:
                 from jax.experimental import multihost_utils
 
@@ -188,8 +198,18 @@ class Trainer:
                     global_step
                 ):
                     self._stop_requested = True
-            except RuntimeError:
-                pass  # no sync manager (older runtime) — local flag only
+            except RuntimeError as e:
+                # no sync manager in this runtime: graceful multi-process
+                # preemption is INOPERATIVE (SIGTERM will kill processes
+                # outright) — warn loudly once instead of degrading
+                # silently
+                self._preemption_sync_broken = True
+                print(
+                    "WARNING: preemption sync point unavailable "
+                    f"({e}); multi-process SIGTERM will NOT checkpoint "
+                    "gracefully",
+                    flush=True,
+                )
         return self._stop_requested
 
     def _save_checkpoint(self, global_step: int):
@@ -205,14 +225,17 @@ class Trainer:
         # same-step checkpoints instead of crashing
         self.ckpt.save(global_step, host_state, force=True)
         self._last_saved_step = global_step
-        self._progress_steps = 0
         if jax.process_index() == 0:
             # inference bundle for the eval/video apps: plain npz host
-            # I/O, barrier-free, so process 0 alone writes it
+            # I/O (tmp+rename), barrier-free, so process 0 alone writes it
             save_weights_only(
                 host_state,
                 os.path.join(self.ckpt.directory, "weights.npz"),
             )
+        # reset only after ALL artifacts are on disk — the signal
+        # handler's "nothing unsaved -> exit now" branch must not fire
+        # while the npz is mid-write
+        self._progress_steps = 0
 
     # -------------------------------------------------------------- train
     def fit(self, num_epochs: Optional[int] = None):
@@ -297,9 +320,10 @@ class Trainer:
                 )
             if (epoch + 1) % cfg.ckpt_every_epochs == 0 or is_last:
                 self._save_checkpoint(global_step)
-        # ran to natural completion: a signal that landed during the final
-        # validate/save came too late to matter — don't report "preempted"
-        self._stop_requested = False
+        # natural completion; the stop flag stays as-is so a signal that
+        # landed during the final validate/save still suppresses further
+        # deadline-unsafe work in the caller (apps/train consults both)
+        self._completed = True
         return self.state
 
     # ------------------------------------------------------- train panels

@@ -19,6 +19,7 @@ train…py:89,221).
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Any, Dict, Iterable, Optional
 
 import jax
@@ -26,12 +27,19 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _rmtree(path: str):
+    shutil.rmtree(path, ignore_errors=True)
+
+
 class CheckpointManager:
     """Thin orbax wrapper: save/restore a TrainState-shaped pytree."""
+
+    _ASIDE_SUFFIX = ".stale"
 
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self._recover_aside_steps()
         self.mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
@@ -39,14 +47,68 @@ class CheckpointManager:
             ),
         )
 
+    def _step_path(self, step: int) -> str:
+        return os.path.join(self.directory, str(step))
+
+    @staticmethod
+    def _barrier(tag: str):
+        """Host-fs mutations (rename/rmtree) run on process 0 only; peers
+        wait here so they never observe a half-moved step dir."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
+    def _recover_aside_steps(self):
+        """Finish an overwrite interrupted by SIGKILL: a ``<step>.stale``
+        dir whose real step is missing is the newest surviving copy —
+        rename it back; if the real step exists the overwrite committed,
+        so drop the aside copy."""
+        if jax.process_index() == 0:
+            for name in os.listdir(self.directory):
+                if not name.endswith(self._ASIDE_SUFFIX):
+                    continue
+                aside = os.path.join(self.directory, name)
+                real = aside[: -len(self._ASIDE_SUFFIX)]
+                if os.path.isdir(real):
+                    _rmtree(aside)
+                else:
+                    os.rename(aside, real)
+        self._barrier("crnerf_ckpt_recover")
+
     def save(self, step: int, state, force: bool = False):
         if force and step in (self.mgr.all_steps() or ()):
             # orbax's force= only bypasses the save-interval policy — it
             # still raises StepAlreadyExistsError for a step directory left
             # by a previous run into the same exp dir. Overwrite semantics
             # (re-training into an existing dir, reference Lightning
-            # behavior) require deleting the stale step first.
-            self.mgr.delete(step)
+            # behavior) need the stale step out of the way first. Rename it
+            # ASIDE rather than deleting: a SIGKILL between here and the
+            # new save's commit then leaves the aside copy recoverable
+            # (__init__ renames it back when the real step is absent)
+            # instead of destroying the newest checkpoint.
+            stale = self._step_path(step)
+            aside = stale + self._ASIDE_SUFFIX
+            if jax.process_index() == 0:
+                if os.path.isdir(aside):
+                    _rmtree(aside)
+                if os.path.isdir(stale):
+                    os.rename(stale, aside)
+            self._barrier("crnerf_ckpt_aside")
+            self.mgr.reload()
+            saved_ok = False
+            try:
+                self._save_inner(step, state, force)
+                saved_ok = True
+            finally:
+                if saved_ok and jax.process_index() == 0 and os.path.isdir(
+                    aside
+                ):
+                    _rmtree(aside)
+            return
+        self._save_inner(step, state, force)
+
+    def _save_inner(self, step: int, state, force: bool):
         self.mgr.save(
             step, args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)),
             force=force,
@@ -111,12 +173,18 @@ def _unflatten(flat) -> Dict[str, Any]:
 
 def save_weights_only(state, path: str):
     """Strip a full train state to an inference bundle: params +
-    batch_stats in one npz (reference utils/save_weights_only.py:12-15)."""
+    batch_stats in one npz (reference utils/save_weights_only.py:12-15).
+
+    Written tmp+rename so a SIGKILL mid-write (preemption grace expiry)
+    can't truncate a previously-good bundle."""
     flat: Dict[str, np.ndarray] = {}
     _flatten(jax.tree.map(np.asarray, state.params), "params", flat)
     bs = getattr(state, "batch_stats", {}) or {}
     _flatten(jax.tree.map(np.asarray, bs), "batch_stats", flat)
-    np.savez(path, **flat)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
 
 
 def load_weights_only(path: str) -> Dict[str, Any]:

@@ -490,6 +490,46 @@ class TestCheckpoint:
         assert int(np.asarray(restored.step)) == 123
         mgr2.close()
 
+    def test_aside_recovery_after_interrupted_overwrite(self, tmp_path):
+        """The overwrite path renames the stale step ASIDE before the new
+        save (utils/checkpoint.py): a SIGKILL between the two must not
+        destroy the newest checkpoint — a fresh manager finds the
+        ``<step>.stale`` dir with no real step and renames it back."""
+        import os
+
+        from crnerf_tpu.utils.checkpoint import CheckpointManager
+
+        cfg = Config(**TINY)
+        system, tx, sched, state = _setup(cfg)
+        host = jax.device_get(state)
+        path = str(tmp_path / "ck_aside")
+
+        mgr = CheckpointManager(path)
+        mgr.save(7, host.replace(step=np.asarray(77, np.int32)))
+        mgr.close()
+
+        # simulate the kill window: stale step moved aside, new save
+        # never committed
+        os.rename(os.path.join(path, "7"), os.path.join(path, "7.stale"))
+
+        mgr2 = CheckpointManager(path)  # recovery runs in __init__
+        assert mgr2.latest_step() == 7
+        restored = mgr2.restore(host, step=7)
+        assert int(np.asarray(restored.step)) == 77
+        mgr2.close()
+
+        # the committed-overwrite case: both real and aside present ->
+        # the aside copy is dropped, the real one wins
+        mgr3 = CheckpointManager(path)
+        mgr3.save(7, host.replace(step=np.asarray(88, np.int32)),
+                  force=True)
+        mgr3.close()
+        os.makedirs(os.path.join(path, "7.stale"))
+        mgr4 = CheckpointManager(path)
+        assert not os.path.exists(os.path.join(path, "7.stale"))
+        assert int(np.asarray(mgr4.restore(host, step=7).step)) == 88
+        mgr4.close()
+
     def test_load_selective(self):
         from crnerf_tpu.utils.checkpoint import load_selective
 
