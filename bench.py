@@ -69,6 +69,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from crnerf_tpu.utils.jit_cache import enable as enable_jit_cache
+
+    enable_jit_cache()
+
     on_tpu = jax.devices()[0].platform != "cpu"
 
     from crnerf_tpu.config import Config

@@ -124,6 +124,9 @@ def run(cfg: Config) -> str:
 
 
 def main(argv: Optional[Sequence[str]] = None):
+    from crnerf_tpu.utils.jit_cache import enable as enable_jit_cache
+
+    enable_jit_cache()
     cfg = get_config(argv)
     return run(cfg)
 

@@ -22,6 +22,10 @@ def main(argv: Optional[Sequence[str]] = None):
         # story was Lightning DDP; here it is jax.distributed + the same
         # shard_map train step)
         jax.distributed.initialize()
+    from crnerf_tpu.utils.jit_cache import enable as enable_jit_cache
+
+    enable_jit_cache()  # re-runs of an unchanged program skip the
+    # 5-10 min TPU step compile (CRNERF_NO_JIT_CACHE=1 to opt out)
     cfg = get_config(argv)
     scene = load_scene_from_config(cfg, split="train")
 

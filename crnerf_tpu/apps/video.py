@@ -41,6 +41,9 @@ def _load_style(path: str, appearance_wh) -> np.ndarray:
 
 
 def main(argv: Optional[Sequence[str]] = None):
+    from crnerf_tpu.utils.jit_cache import enable as enable_jit_cache
+
+    enable_jit_cache()
     p = argparse.ArgumentParser(description="appearance-hallucination video")
     p.add_argument("--ckpt_path", type=str, required=True)
     p.add_argument("--scene_name", type=str, required=True)

@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from crnerf_tpu.utils.jit_cache import enable as _ejc
+    _ejc()
     ap = argparse.ArgumentParser()
     ap.add_argument("--wh", type=int, nargs=2, default=(320, 240))
     ap.add_argument("--n", type=int, default=256)
