@@ -27,3 +27,9 @@ assert jax.devices()[0].platform == "cpu", (
     f"{jax.devices()[0].platform}"
 )
 assert len(jax.devices()) == 8
+
+# the suite is compile-dominated (~30-50 min, mostly XLA-CPU compiles of
+# the same programs every run) — persistent cache makes re-runs cheap
+from crnerf_tpu.utils.jit_cache import enable as _enable_jit_cache  # noqa: E402
+
+_enable_jit_cache()
