@@ -273,6 +273,25 @@ class TestTrainStep:
         state, m = step(state, jax.tree.map(jnp.asarray, b))
         assert np.isfinite(float(m["loss"]))
 
+    def test_model_mode_141_branch(self):
+        """encode_a=False with the '1-4-1' tanh decoder (reference
+        get_renderer model_mode, nerf_decoder_stylenerf.py:452-458) —
+        the zoo variant trains, not just forwards."""
+        cfg = Config(**TINY).replace(
+            use_mask=False, encode_a=False, encode_c=False,
+            encode_random=False, model_mode="1-4-1",
+        )
+        system, tx, sched, state = _setup(cfg)
+        step = jax.jit(make_train_step(system, tx, sched))
+        b = _batch(cfg)
+        prev = jax.tree.leaves(state.params)[0].copy()
+        state, m = step(state, jax.tree.map(jnp.asarray, b))
+        assert np.isfinite(float(m["loss"]))
+        assert not np.array_equal(
+            np.asarray(jax.device_get(jax.tree.leaves(state.params)[0])),
+            np.asarray(prev),
+        )
+
 
 class TestShardedTrainStep:
     def test_eight_device_parity_and_cache_allgather(self):
