@@ -103,6 +103,12 @@ def main():
             # space-to-depth conv schedule for the appearance heads
             # (CRNERF_BENCH_S2D=1 to A/B; default follows Config)
             s2d_heads=bool(int(os.environ.get("CRNERF_BENCH_S2D", "0"))),
+            # sample_pdf gather realization (CRNERF_BENCH_PDF=maskreduce
+            # to A/B; default follows Config)
+            pdf_impl=os.environ.get("CRNERF_BENCH_PDF", "onehot"),
+            # unrolled grad-accum chunk scan (CRNERF_BENCH_UNROLL=1 to A/B)
+            chunk_unroll=bool(int(os.environ.get("CRNERF_BENCH_UNROLL",
+                                                 "0"))),
         )
     else:  # CI fallback so the line always prints
         cfg = Config(
@@ -131,7 +137,8 @@ def main():
     )
     train_step = make_train_step(
         system, tx, sched, grids_per_step=grids,
-        grad_accum_chunks=cfg.resolved_chunks())
+        grad_accum_chunks=cfg.resolved_chunks(),
+        chunk_unroll=cfg.chunk_unroll)
 
     staged = {
         k: jnp.stack(

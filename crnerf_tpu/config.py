@@ -143,6 +143,12 @@ class Config:
     s2d_heads: bool = False  # space-to-depth schedule for the appearance
     # encoder's wide 3x3 convs (identical math/params; MXU-utilization
     # experiment — models/common.py s2d_conv3x3)
+    pdf_impl: str = "onehot"  # sample_pdf gather realization: 'onehot'
+    # (MXU contractions) or 'maskreduce' (fused masked reduces, no HBM
+    # one-hot operands — core/sampling.py; identical values, A/B on TPU)
+    chunk_unroll: bool = False  # unroll the grad-accum chunk scan so XLA
+    # can overlap one chunk's flat tail with the next chunk's kernels
+    # (same math; compile time rises with chunks — A/B on TPU)
     fast_sincos: bool = True  # double-angle recurrence for the posenc
     # sin/cos sweep on the fused bf16 path (~F x fewer transcendentals;
     # error ~2^F * 1e-7 ~= 1.6e-3 at F=15, below bf16 quantization).
@@ -216,6 +222,7 @@ _BOOL_FIELDS = {
     "use_pallas", "pallas_train", "pallas_render", "pallas_interpret",
     "pallas_stash", "fast_sincos", "remat", "donate_state", "profile",
     "use_wandb", "eval_bucket", "hoist_heads", "auto_resume", "s2d_heads",
+    "chunk_unroll",
 }
 
 

@@ -45,13 +45,27 @@ def perturb_zvals(key, z_vals, perturb: float):
 
 
 def sample_pdf(key, bins, weights, n_importance: int, det: bool,
-               eps: float = 1e-5):
+               eps: float = 1e-5, impl: str = "onehot"):
     """Inverse-CDF sampling (rendering.py:7-46).
 
     bins: (N_rays, B+1) interval edges (the reference passes coarse z
     mid-points); weights: (N_rays, B). Returns (N_rays, n_importance).
     det=True uses linspace(0,1) instead of uniform draws (used when
     perturb == 0, i.e. eval — rendering.py:185).
+
+    ``impl`` selects how the four index-gathers (cdf/bins at below/above)
+    are realized:
+
+    - ``"onehot"``: batched one-hot MXU contractions (the 2026-08-16 win
+      over take_along_axis gathers) — materializes (N, I, B+1) one-hot
+      operands in HBM for the dots.
+    - ``"maskreduce"``: masked max/min reduces over the same compare
+      matrix — XLA fuses broadcast-compare-select-reduce into single
+      fusions whose (N, I, B+1) intermediates never touch HBM. Requires
+      ``bins`` ascending per ray (true whenever z_vals are sorted, i.e.
+      perturb <= 1 — the caller gates on the same condition as
+      merge_sorted_zvals); identical results to "onehot" under that
+      precondition (tests/test_core.py pins equality).
     """
     n_rays, n_bins = weights.shape
     weights = weights + eps
@@ -74,6 +88,34 @@ def sample_pdf(key, bins, weights, n_importance: int, det: bool,
         )
         cs = jnp.cumsum(e, -1)
         u = cs[:, :-1] / cs[:, -1:]
+
+    if impl == "maskreduce":
+        # searchsorted-free: with cdf non-decreasing and bins ascending,
+        # x[inds-1] == max over the prefix {j: cdf[j] <= u} and
+        # x[min(inds, B)] == min over the suffix {j: cdf[j] > u} (falling
+        # back to x[B] when the suffix is empty, i.e. u >= cdf[B] — the
+        # clip in the index path). Each select+reduce fuses to one XLA
+        # fusion with no (N, I, B+1) HBM intermediate.
+        le = cdf[:, None, :] <= u[:, :, None]          # (N, I, B+1)
+        neg = jnp.asarray(-jnp.inf, cdf.dtype)
+        pos = jnp.asarray(jnp.inf, cdf.dtype)
+
+        def prefix_max(v):  # v: (N, B+1) -> (N, I)
+            return jnp.max(jnp.where(le, v[:, None, :], neg), axis=-1)
+
+        def suffix_min(v):
+            r = jnp.min(jnp.where(le, pos, v[:, None, :]), axis=-1)
+            return jnp.minimum(r, v[:, -1:])  # empty suffix -> v[B]
+
+        cdf_below = prefix_max(cdf)
+        cdf_above = suffix_min(cdf)
+        bins_below = prefix_max(bins)
+        bins_above = suffix_min(bins)
+
+        denom = cdf_above - cdf_below
+        denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)
+        t = (u - cdf_below) / denom
+        return bins_below + t * (bins_above - bins_below)
 
     # Batched searchsorted(side='right'): count of cdf entries <= u. With
     # B ~ 64 bins a dense compare-all is a handful of VPU ops and avoids the

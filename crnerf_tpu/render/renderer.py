@@ -167,6 +167,7 @@ def render_rays(
     pertube_cord: bool = False,
     remat: bool = True,
     fused_opts: Optional[Dict[str, Any]] = None,
+    pdf_impl: str = "onehot",
 ) -> Dict[str, jax.Array]:
     """Returns {feature_coarse, depth_coarse, weights_coarse, and (if
     n_importance>0) feature_fine, depth_fine, weights_fine, z_fine}.
@@ -235,9 +236,12 @@ def render_rays(
         return results
 
     z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+    # maskreduce needs ascending bins — guaranteed on exactly the same
+    # condition as merge_sorted_zvals' fast path (perturb <= 1)
+    impl = pdf_impl if (perturb <= 1.0 or test_time) else "onehot"
     z_fine = sample_pdf(
         kpdf, z_mid, jax.lax.stop_gradient(w_c[:, 1:-1]),
-        n_importance, det=(perturb == 0) or test_time,
+        n_importance, det=(perturb == 0) or test_time, impl=impl,
     )
     z_all = merge_sorted_zvals(z_vals, z_fine, inputs_sorted=perturb <= 1.0)
     xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]

@@ -218,6 +218,7 @@ class CrNerfSystem:
             pertube_cord=cfg.pertube_cord and train,
             remat=cfg.remat,
             fused_opts=fused_opts,
+            pdf_impl=cfg.pdf_impl,
         )
 
     # ----------------------------------------------------------- forward

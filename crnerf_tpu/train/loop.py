@@ -88,7 +88,8 @@ class Trainer:
         step_local = make_train_step(self.system, self.tx, self.lr_sched,
                                      grad_accum_chunks=cfg.resolved_chunks(),
                                      axis_name=axis,
-                                     grids_per_step=self.grids)
+                                     grids_per_step=self.grids,
+                                     chunk_unroll=cfg.chunk_unroll)
         if self.n_devices > 1:
             self.step_fn = shard_train_step(
                 step_local, self.mesh, donate_state=cfg.donate_state

@@ -50,7 +50,8 @@ def _select_random_embedding(key, state: TrainState):
 def make_train_step(system: CrNerfSystem, tx, lr_sched,
                     axis_name: Optional[str] = None,
                     grids_per_step: int = 1,
-                    grad_accum_chunks: int = 1):
+                    grad_accum_chunks: int = 1,
+                    chunk_unroll: bool = False):
     """Build the pure train-step function.
 
     ``axis_name`` set -> gradients are psum-averaged and embedding-cache
@@ -237,9 +238,14 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
                 # head cotangents ride the scan ys back to (C, gc, ...)
                 return gsum, (tot_c, aux_c, gh_c)
 
+            # chunk_unroll inlines every chunk into one XLA block so the
+            # scheduler can overlap chunk i's flat tail (sample_pdf,
+            # losses) with chunk i+1's MLP kernels — a scan body is a
+            # hard pipeline boundary. Same math; A/B knob.
             gsum, (tots, auxs, gh_all) = jax.lax.scan(
                 body, zero_g,
                 (batch_r, keys_r, a_rand_r, heads_r),
+                unroll=c if chunk_unroll else 1,
             )
             grads = jax.tree.map(lambda x: x / c, gsum)
             total = jnp.mean(tots)

@@ -201,6 +201,34 @@ class TestSamplePdf:
         )
         np.testing.assert_allclose(np.asarray(got), expect, atol=2e-5)
 
+    def test_maskreduce_impl_matches_onehot(self):
+        """The fused masked-reduce realization equals the one-hot MXU
+        realization bitwise-close on every edge: det (u hits 0 and 1
+        exactly), stochastic draws, near-zero weights (denom<eps guard),
+        and weight mass at the ends (empty suffix -> clip-to-B)."""
+        cases = []
+        rng = np.random.RandomState(11)
+        bins64 = np.sort(rng.rand(16, 64).astype(np.float32) * 4 + 2, -1)
+        cases.append((bins64, rng.rand(16, 63).astype(np.float32), 64))
+        w_zero = np.zeros((4, 63), np.float32)      # pure-eps pdf
+        cases.append((bins64[:4], w_zero, 64))
+        w_ends = np.zeros((4, 63), np.float32)      # all mass at the ends
+        w_ends[:, 0] = 5.0
+        w_ends[:, -1] = 5.0
+        cases.append((bins64[:4], w_ends, 32))
+        for det in (True, False):
+            for bins, w, n_imp in cases:
+                a = sample_pdf(jax.random.key(3), jnp.asarray(bins),
+                               jnp.asarray(w), n_imp, det=det,
+                               impl="onehot")
+                b = sample_pdf(jax.random.key(3), jnp.asarray(bins),
+                               jnp.asarray(w), n_imp, det=det,
+                               impl="maskreduce")
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-6,
+                    err_msg=f"det={det} shape={w.shape}",
+                )
+
     def test_merge_sorted(self):
         a = jnp.array([[1.0, 3.0, 5.0]])
         b = jnp.array([[2.0, 4.0]])
