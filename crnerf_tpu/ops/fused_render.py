@@ -55,6 +55,23 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
+def _fwd_compiler_params():
+    """CompilerParams for the FORWARD kernels, whose 1-D ray-tile grid is
+    embarrassingly parallel (every output block is written by exactly one
+    grid step). CRNERF_FWD_PARALLEL=1 declares that to Mosaic via
+    dimension_semantics — an A/B scheduling experiment; the backward
+    kernels accumulate weight grads across grid steps (const out specs)
+    and must keep the default 'arbitrary' semantics."""
+    import os
+
+    if os.environ.get("CRNERF_FWD_PARALLEL"):
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=("parallel",),
+        )
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
 def _pow2_floor(x: int) -> int:
     """Largest power of two <= x (x >= 1)."""
     return 1 << (x.bit_length() - 1)
@@ -905,8 +922,7 @@ def fused_render_apply(
             pltpu.VMEM((enc_t_rows(n_emb_xyz), t), jnp.float32)
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_fwd_compiler_params(),
     )(in0, z_p, no_p, dir_blk, *wargs)
     return out_ray[:n], weights[:n]
 
@@ -1037,8 +1053,7 @@ def make_fused_render_train(
                 pltpu.VMEM((enc_t_rows(n_emb_xyz), t), jnp.float32)
             ],
             interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_VMEM_LIMIT),
+            compiler_params=_fwd_compiler_params(),
         )(in0, z_p, no_p, dir_blk, *wargs)
         out_ray, weights = res[0], res[1]
         stashes = tuple(res[2:])
