@@ -45,6 +45,13 @@ def main():
     ap.add_argument("--chunks", type=int, default=0,
                     help="gradient-accumulation chunks over grids "
                          "(0 = Config auto rule)")
+    ap.add_argument("--pdf_impl", default="onehot",
+                    choices=("onehot", "maskreduce"),
+                    help="sample_pdf gather realization (core/sampling.py)")
+    ap.add_argument("--unroll", action="store_true",
+                    help="unroll the grad-accum chunk scan (chunk_unroll)")
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth conv schedule (s2d_heads)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--img_wh", type=int, nargs=2, default=(112, 84),
                     help="synthetic scene resolution (112x84 -> 55 "
@@ -74,6 +81,9 @@ def main():
         num_epochs=args.epochs,
         pallas_stash=args.stash,
         grad_accum_chunks=args.chunks,
+        pdf_impl=args.pdf_impl,
+        chunk_unroll=args.unroll,
+        s2d_heads=args.s2d,
     )
     if not on_tpu:
         cfg = cfg.replace(
@@ -108,7 +118,8 @@ def main():
 
     step_local = make_train_step(
         trainer.system, trainer.tx, trainer.lr_sched, grids_per_step=g,
-        grad_accum_chunks=trainer.cfg.resolved_chunks()
+        grad_accum_chunks=trainer.cfg.resolved_chunks(),
+        chunk_unroll=trainer.cfg.chunk_unroll,
     )
 
     def body(state, x):
