@@ -31,14 +31,19 @@ K_STEPS = 10
 N_STAGED = 4
 
 
-def _wait_for_backend(tries: int = 5, wait_s: int = 60,
+def _wait_for_backend(tries: int | None = None, wait_s: int = 120,
                       probe_timeout: int = 300):
     """The axon TPU tunnel intermittently reports UNAVAILABLE at backend
-    init, and jax caches an init failure for the life of the process — so
-    probe in a SUBPROCESS until the backend comes up, then init here."""
+    init (outages of hours have been observed), and jax caches an init
+    failure for the life of the process — so probe in a SUBPROCESS until
+    the backend comes up, then init here. CRNERF_BENCH_TRIES overrides
+    the probe budget (default 10 ≈ up to ~70 min of patience)."""
     import os
     import subprocess
     import sys
+
+    if tries is None:
+        tries = int(os.environ.get("CRNERF_BENCH_TRIES", "10"))
 
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return  # a host backend can't be down (note: the env var alone
