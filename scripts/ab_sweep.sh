@@ -28,4 +28,8 @@ run s2d_heads   CRNERF_BENCH_S2D=1
 run pdf_maskreduce CRNERF_BENCH_PDF=maskreduce
 run chunk_unroll  CRNERF_BENCH_UNROLL=1
 run fwd_parallel  CRNERF_FWD_PARALLEL=1
+# G=32 re-measure: pre-fused-kernel HBM blocked it; stash+chunking now
+# bound peak memory per chunk, and a bigger G amortizes the ~8-10 ms
+# flat tail (speed-of-light table, BASELINE.md)
+run g32           CRNERF_BENCH_G=32
 echo "sweep done $(date -u)" | tee -a "$OUT"
