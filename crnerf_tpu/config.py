@@ -127,8 +127,9 @@ class Config:
     # sequential gradient-accumulation chunks (lax.scan, conv heads
     # hoisted out and batched over all G) — bounds the live stash memory
     # to G/chunks grids; grads/metrics are chunk-means, numerically ==
-    # the vmapped step (fp order). 0 = AUTO: 2 when the stash backward is
-    # on and grids_per_step >= 8 (the v5e HBM fit), else 1.
+    # the vmapped step (fp order). 0 = AUTO: with the stash backward on,
+    # enough chunks to keep <= 8 grids of stash live (the measured v5e
+    # HBM fit at G=16/C=2), else 1.
 
     hoist_heads: bool = False  # compute enc_a/CGNet outside the chunk
     # scan (batched over all G, grads via vjp cotangents). Numerically ==
@@ -139,7 +140,14 @@ class Config:
     def resolved_chunks(self) -> int:
         if self.grad_accum_chunks > 0:
             return self.grad_accum_chunks
-        return 2 if (self.pallas_stash and self.grids_per_step >= 8) else 1
+        if self.pallas_stash and self.grids_per_step >= 8:
+            g = self.grids_per_step
+            # smallest chunk count that divides G and keeps <= 8 grids
+            # of stash live per chunk; 2 floor (the measured G=16 fit)
+            for c in range(max(2, -(-g // 8)), g + 1):
+                if g % c == 0:
+                    return c
+        return 1
     s2d_heads: bool = False  # space-to-depth schedule for the appearance
     # encoder's wide 3x3 convs (identical math/params; MXU-utilization
     # experiment — models/common.py s2d_conv3x3)
