@@ -143,10 +143,24 @@ class Config:
         if self.pallas_stash and self.grids_per_step >= 8:
             g = self.grids_per_step
             # smallest chunk count that divides G and keeps <= 8 grids
-            # of stash live per chunk; 2 floor (the measured G=16 fit)
-            for c in range(max(2, -(-g // 8)), g + 1):
+            # of stash live per chunk; 2 floor (the measured G=16 fit).
+            # Chunking requires C | G (train/step.py), so search divisors —
+            # but cap the serialization: a G whose only divisor in range is
+            # far above the <=8-live intent (e.g. prime G=17 -> C=17, one
+            # grid per chunk) would silently serialize the whole scan.
+            lo = max(2, -(-g // 8))
+            for c in range(lo, min(g, 4 * lo) + 1):
                 if g % c == 0:
                     return c
+            import warnings
+
+            warnings.warn(
+                f"grids_per_step={g} has no divisor in [{lo}, {4 * lo}]; "
+                f"AUTO grad_accum_chunks falls back to 1 (all {g} grids' "
+                "stash live at once — may exceed HBM). Set "
+                "grad_accum_chunks explicitly or pick G with a divisor "
+                "near ceil(G/8).", stacklevel=2,
+            )
         return 1
     s2d_heads: bool = False  # space-to-depth schedule for the appearance
     # encoder's wide 3x3 convs (identical math/params; MXU-utilization

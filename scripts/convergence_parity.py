@@ -10,16 +10,25 @@ math (torch CPU: render_rays_cross_ray + decode + CRNeRFLoss + Adam/cosine,
 trainer on IDENTICAL batches from IDENTICAL initial weights (ported with
 crnerf_tpu.utils.torch_port) and compares loss-term + PSNR trajectories.
 
-Determinism: perturb=0 (-> sample_pdf det, rendering.py:185), noise_std=0,
-encode_random off (the reference's random-embedding pick is an unseedable
-``random.choice``, train…py:166 — with it on, trajectories decorrelate by
-construction; cache dynamics are covered by the stochastic band check in
-BASELINE.md instead). Everything else is the full composed model:
-encode_a + encode_c + use_mask (nerf_out_dim=64 — the only width at which
-the reference style_net can run forward, linearStyleTransfer.py:46-47).
+Determinism: perturb=0 (-> sample_pdf det, rendering.py:185), noise_std=0.
+Everything else is the full composed model: encode_a + encode_c + use_mask
+(nerf_out_dim=64 — the only width at which the reference style_net can run
+forward, linearStyleTransfer.py:46-47).
+
+``--encode_random`` additionally drives the paper's signature branch — the
+random-appearance decode + re-encode constraint and the embedding-cache
+feedback loop (train…py:161-166,216-221). The reference's pick is an
+unseedable ``random.choice`` over the filled cache entries, so both
+trainers are fed the SAME pre-drawn index sequence (the valid-set evolution
+is deterministic given the shared ts stream — ``draw_random_selections``);
+the torch side consumes it directly, the jax side via a harness-local
+override of ``_select_random_embedding`` that indexes the sequence by
+``state.step``. Cache VALUES still come from each trainer's own past
+steps, so this proves the full feedback dynamics, not just one step.
 
 Usage:
     python scripts/convergence_parity.py --epochs 3 --steps_per_epoch 40
+    python scripts/convergence_parity.py --encode_random --epochs 3
 """
 
 from __future__ import annotations

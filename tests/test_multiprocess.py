@@ -38,7 +38,10 @@ def _run_workers(tmp_path, extra_args=()):
     # `python tests/multiprocess_worker.py` puts tests/ (the script dir),
     # not the cwd, on sys.path — make crnerf_tpu importable without
     # requiring a pip install of the package
-    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    inherited = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = (
+        ROOT + os.pathsep + inherited if inherited else ROOT
+    )
     save_dir = tmp_path / "run"  # shared dir, as on a real multi-host fs
     procs, out_paths = [], []
     for pid in range(2):
