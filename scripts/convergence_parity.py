@@ -129,6 +129,24 @@ def batches_for(pipe, epochs: int, steps_per_epoch: int):
     return out
 
 
+def draw_random_selections(batches, n_vocab: int, seed: int = 11):
+    """Pre-draw the random-appearance pick for every step: the reference
+    chooses uniformly among filled cache entries (train…py:161-166) and
+    writes ts[0] after each forward (train…py:221) — given the shared ts
+    stream the valid-set evolution is deterministic, so one host-side draw
+    serves both trainers. -1 == cache empty (use the live embedding)."""
+    rng = np.random.RandomState(seed)
+    valid: list = []
+    out = []
+    for b in batches:
+        out.append(int(rng.choice(valid)) if valid else -1)
+        t = int(b["ts"][0])
+        if t not in valid:
+            valid.append(t)
+            valid.sort()
+    return np.asarray(out, np.int32)
+
+
 # ------------------------------------------------------------- torch side
 def build_torch_modules(cfg, seed=123):
     import torch
@@ -172,11 +190,12 @@ def build_torch_modules(cfg, seed=123):
 
 
 def run_torch(cfg, mods, embeddings, ref_args, batches,
-              steps_per_epoch: int) -> List[Dict]:
+              steps_per_epoch: int, sel_idx=None) -> List[Dict]:
     """The reference training loop, transcribed from
     train_mask_grid_sample.py:268-337 + forward:151-226 + decode:127-149,
     utils get_optimizer/get_scheduler (Adam eps=1e-8, per-epoch cosine
-    eta_min=1e-8)."""
+    eta_min=1e-8). ``sel_idx`` (encode_random on): per-step cache pick,
+    standing in for the reference's random.choice (train…py:166)."""
     import torch
     from models.rendering import render_rays_cross_ray
 
@@ -205,6 +224,7 @@ def run_torch(cfg, mods, embeddings, ref_args, batches,
         m.train()
 
     gh = int(math.isqrt(cfg.batch_size))
+    emb_cache: Dict[int, "torch.Tensor"] = {}  # the embedding_a_list
     records = []
     for step, b in enumerate(batches):
         rays = torch.from_numpy(b["rays"].astype(np.float32))
@@ -254,6 +274,25 @@ def run_torch(cfg, mods, embeddings, ref_args, batches,
         results["content_with_a_embed"] = mods["enc_cont"](img_f)
         results["content_wo_a_embed"] = mods["enc_cont"](img_content)
 
+        if cfg.encode_random:
+            # train…py:161-166 (pick) + 216-221 (decode/re-encode/cache
+            # write); feature_fine_random aliases feature_fine
+            # (rendering.py:141)
+            sel = int(sel_idx[step])
+            a_rand = (
+                kwargs["a_embedded_from_img"] if sel < 0
+                else emb_cache[sel]
+            )
+            img_r = decode(results["feature_fine"], a_rand)
+            results["a_embedded_random"] = a_rand
+            results["a_embedded_random_rec"] = mods["enc_a"](img_r)
+            results["rgb_fine_random"] = (
+                img_r.permute(0, 2, 3, 1).reshape(-1, 3)
+            )
+            emb_cache[int(ts[0])] = (
+                kwargs["a_embedded_from_img"].clone().detach()
+            )
+
         loss_d, aw = loss_fn(results, rgbs, HP(), step)
         total = sum(loss_d.values())
         opt.zero_grad()
@@ -275,17 +314,25 @@ def run_torch(cfg, mods, embeddings, ref_args, batches,
 
 # --------------------------------------------------------------- jax side
 def run_jax(cfg, variables, batches, steps_per_epoch: int,
-            step_times: Optional[list] = None) -> List[Dict]:
+            step_times: Optional[list] = None,
+            sel_idx=None) -> List[Dict]:
     """step_times (optional list): appended with the wall seconds of each
     step INCLUDING its device_get — pass it to time warm steps within one
     jit instance (a fresh run_jax call rebuilds the jit and recompiles,
-    so cross-call timing measures compile, not steps)."""
+    so cross-call timing measures compile, not steps).
+
+    ``sel_idx`` (encode_random parity): per-step forced cache pick shared
+    with the torch run — installed by overriding the train step's
+    ``_select_random_embedding`` to index the sequence by ``state.step``
+    (harness-only; the production path keeps its uniform gumbel-max
+    draw)."""
     import jax
     import jax.numpy as jnp
 
     from crnerf_tpu.render.system import CrNerfSystem
     from crnerf_tpu.train.optim import make_optimizer
     from crnerf_tpu.train.state import TrainState
+    from crnerf_tpu.train import step as step_mod
     from crnerf_tpu.train.step import make_train_step
 
     system = CrNerfSystem(cfg)
@@ -295,20 +342,39 @@ def run_jax(cfg, variables, batches, steps_per_epoch: int,
         n_vocab=cfg.N_vocab, embed_hw=32, embed_c=cfg.nerf_out_dim,
         rng=jax.random.PRNGKey(0),
     )
-    step_fn = jax.jit(make_train_step(system, tx, sched))
-    records = []
-    for step, b in enumerate(batches):
-        db = {
-            k: jnp.asarray(v)
-            for k, v in b.items() if k not in ("pixel_idx", "img_wh")
-        }
-        t0 = time.perf_counter()
-        state, m = step_fn(state, db)
-        m = jax.device_get(m)
-        if step_times is not None:
-            step_times.append(time.perf_counter() - t0)
-        records.append({k: float(v) for k, v in m.items()}
-                       | {"step": step})
+    orig_select = step_mod._select_random_embedding
+    if sel_idx is not None:
+        seq = jnp.asarray(np.asarray(sel_idx), jnp.int32)
+
+        def forced_select(key, st):
+            idx = seq[st.step]
+            hw, c = st.embed_hw, st.embed_c
+            emb = st.embedding_cache[jnp.maximum(idx, 0)].reshape(
+                1, hw, hw, c
+            ).astype(jnp.float32)
+            return emb, idx >= 0
+
+        step_mod._select_random_embedding = forced_select
+    try:
+        # the override must outlive the first step_fn call: the train step
+        # resolves _select_random_embedding by module-global lookup at
+        # TRACE time (first call), not at closure-build time
+        step_fn = jax.jit(make_train_step(system, tx, sched))
+        records = []
+        for step, b in enumerate(batches):
+            db = {
+                k: jnp.asarray(v)
+                for k, v in b.items() if k not in ("pixel_idx", "img_wh")
+            }
+            t0 = time.perf_counter()
+            state, m = step_fn(state, db)
+            m = jax.device_get(m)
+            if step_times is not None:
+                step_times.append(time.perf_counter() - t0)
+            records.append({k: float(v) for k, v in m.items()}
+                           | {"step": step})
+    finally:
+        step_mod._select_random_embedding = orig_select
     return records
 
 
@@ -337,6 +403,9 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--steps_per_epoch", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--encode_random", action="store_true",
+                    help="drive the random-appearance branch + embedding-"
+                         "cache feedback with a shared pick sequence")
     args = ap.parse_args(argv)
 
     import jax
@@ -350,9 +419,13 @@ def main(argv=None):
     import torch
 
     torch.manual_seed(7)
-    cfg = build_cfg(args.epochs)
+    cfg = build_cfg(args.epochs, encode_random=args.encode_random)
     scene, pipe = make_data(cfg, seed=args.seed)
     batches = batches_for(pipe, args.epochs, args.steps_per_epoch)
+    sel_idx = (
+        draw_random_selections(batches, cfg.N_vocab)
+        if args.encode_random else None
+    )
 
     mods, embeddings, ref_args = build_torch_modules(cfg)
     sd = {}
@@ -368,11 +441,13 @@ def main(argv=None):
         np.array, {"params": params, "batch_stats": stats}
     )
 
-    print(f"running torch reference trainer ({len(batches)} steps)...")
+    print(f"running torch reference trainer ({len(batches)} steps"
+          f"{', encode_random' if args.encode_random else ''})...")
     ref = run_torch(cfg, mods, embeddings, ref_args, batches,
-                    args.steps_per_epoch)
+                    args.steps_per_epoch, sel_idx=sel_idx)
     print("running crnerf_tpu trainer...")
-    ours = run_jax(cfg, variables, batches, args.steps_per_epoch)
+    ours = run_jax(cfg, variables, batches, args.steps_per_epoch,
+                   sel_idx=sel_idx)
 
     stats = compare(ref, ours)
     print(f"\n{'metric':<22}{'ref final':>12}{'ours final':>12}"

@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--s2d", action="store_true",
                     help="space-to-depth conv schedule (s2d_heads)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="Config.seed (init + train-step rng) — the "
+                         "multi-seed quality band varies this")
     ap.add_argument("--img_wh", type=int, nargs=2, default=(112, 84),
                     help="synthetic scene resolution (112x84 -> 55 "
                          "steps/epoch at batch 1024, the BASELINE.md "
@@ -84,6 +87,7 @@ def main():
         pdf_impl=args.pdf_impl,
         chunk_unroll=args.unroll,
         s2d_heads=args.s2d,
+        seed=args.seed,
     )
     if not on_tpu:
         cfg = cfg.replace(
@@ -146,7 +150,8 @@ def main():
     trainer.state = state
     val = trainer.validate()
     print(f"final val: psnr={val['psnr']:.3f} ssim={val['ssim']:.4f} "
-          f"| epochs={args.epochs} G={g} dtype={cfg.compute_dtype} "
+          f"| epochs={args.epochs} G={g} seed={cfg.seed} "
+          f"dtype={cfg.compute_dtype} "
           f"pallas={cfg.pallas_train} fast_sincos={cfg.fast_sincos}")
 
 

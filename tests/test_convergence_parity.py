@@ -30,13 +30,15 @@ sys.path.insert(
 import convergence_parity as cp  # noqa: E402
 
 
-@pytest.mark.slow
-def test_trainer_trajectories_track_reference():
+def _run_harness(epochs, steps_per_epoch, encode_random=False):
     torch.manual_seed(7)
-    epochs, steps_per_epoch = 2, 30
-    cfg = cp.build_cfg(epochs)
+    cfg = cp.build_cfg(epochs, encode_random=encode_random)
     scene, pipe = cp.make_data(cfg, seed=0)
     batches = cp.batches_for(pipe, epochs, steps_per_epoch)
+    sel_idx = (
+        cp.draw_random_selections(batches, cfg.N_vocab)
+        if encode_random else None
+    )
 
     mods, embeddings, ref_args = cp.build_torch_modules(cfg)
     sd = {}
@@ -53,10 +55,15 @@ def test_trainer_trajectories_track_reference():
     )
 
     ref = cp.run_torch(cfg, mods, embeddings, ref_args, batches,
-                       steps_per_epoch)
-    ours = cp.run_jax(cfg, variables, batches, steps_per_epoch)
+                       steps_per_epoch, sel_idx=sel_idx)
+    ours = cp.run_jax(cfg, variables, batches, steps_per_epoch,
+                      sel_idx=sel_idx)
+    return ref, ours, cp.compare(ref, ours)
 
-    stats_d = cp.compare(ref, ours)
+
+@pytest.mark.slow
+def test_trainer_trajectories_track_reference():
+    ref, ours, stats_d = _run_harness(2, 30)
     # identical loss-term family must be present on both sides
     ref_terms = {k for k in ref[0] if k.startswith("loss/")}
     our_terms = {k for k in ours[0] if k.startswith("loss/")}
@@ -72,3 +79,26 @@ def test_trainer_trajectories_track_reference():
     assert dpsnr < 0.3, stats_d["psnr"]
     # per-epoch cosine schedule matches exactly
     assert stats_d["lr"]["max_rel"] < 1e-6
+
+
+@pytest.mark.slow
+def test_trainer_trajectories_track_reference_encode_random():
+    """The paper's signature branch: random-appearance decode/re-encode
+    (rec_a_random) + the embedding-cache feedback loop, both trainers fed
+    the same pre-drawn pick sequence (the reference's own pick is an
+    unseedable random.choice — train…py:166). Cache VALUES come from each
+    trainer's own past steps, so this exercises the full feedback
+    dynamics (train…py:161-166,216-221)."""
+    ref, ours, stats_d = _run_harness(2, 20, encode_random=True)
+    assert "loss/rec_a_random" in stats_d
+    # rec_a_random compares each trainer's own re-encoded render against
+    # its own cached pick — tiny absolute values, so allow wider rel
+    assert stats_d["loss/rec_a_random"]["mean_rel"] < 0.05, (
+        stats_d["loss/rec_a_random"]
+    )
+    assert stats_d["loss"]["mean_rel"] < 0.03, stats_d["loss"]
+    assert stats_d["loss"]["max_rel"] < 0.12, stats_d["loss"]
+    dpsnr = abs(
+        stats_d["psnr"]["ref_final"] - stats_d["psnr"]["ours_final"]
+    )
+    assert dpsnr < 0.3, stats_d["psnr"]
