@@ -27,7 +27,8 @@ run baseline                  || exit 1   # re-confirm the 166.0k state
 run s2d_heads   CRNERF_BENCH_S2D=1
 run pdf_maskreduce CRNERF_BENCH_PDF=maskreduce
 run chunk_unroll  CRNERF_BENCH_UNROLL=1
-run fwd_parallel  CRNERF_FWD_PARALLEL=1
+run fwd_arbitrary CRNERF_FWD_ARBITRARY=1  # parallel fwd semantics are
+# the default since the 2026-08-19 sweep (+0.9%); this A/Bs the old mode
 # G=32 re-measure: pre-fused-kernel HBM blocked it; stash+chunking now
 # bound peak memory per chunk, and a bigger G amortizes the ~8-10 ms
 # flat tail (speed-of-light table, BASELINE.md)

@@ -97,6 +97,42 @@ def main():
         print(f"{label:13s}: {per_frame:.3f} s/frame "
               f"({w}x{h}, N={args.n}+{args.n}, chunk={cfg.val_chunk})")
 
+    # ---- HEAD-default eval path: fused Pallas THROUGH the pow2 ray
+    # bucket (render/inference.py — padded rays, masked style stats);
+    # this is what apps/eval actually runs, so it gets its own row
+    from crnerf_tpu.render.inference import Renderer, bucket_size
+
+    cfg, system, variables = build(True)
+    wa, ha = cfg.appearance_wh
+    r = Renderer(cfg, variables, system)
+    n_pix = h * w
+    p = bucket_size(n_pix)
+    rays_p = np.pad(rays, ((0, p - n_pix), (0, 0)), mode="edge")
+    vv, uu = np.meshgrid(
+        (np.arange(h) + 0.5) / h, (np.arange(w) + 0.5) / w, indexing="ij"
+    )
+    uv = np.stack([vv.reshape(-1), uu.reshape(-1)], -1).astype(np.float32)
+    uv_p = jnp.asarray(np.pad(uv, ((0, p - n_pix), (0, 0)), mode="edge"))
+    rays_b = jnp.asarray(rays_p)
+    whole = jnp.zeros((1, ha, wa, 3))
+    fn = r._fn_bucketed(p)
+
+    def run_bucket(k):
+        t0 = time.perf_counter()
+        acc = 0.0
+        for i in range(k):
+            out = fn(variables, rays_b, whole, uv_p, jnp.int32(n_pix),
+                     jax.random.PRNGKey(i))
+            acc += float(out["rgb_fine"].sum())
+        return time.perf_counter() - t0
+
+    run_bucket(1)
+    t1 = run_bucket(2)
+    t2 = run_bucket(4)
+    print(f"pallas-bucket: {(t2 - t1) / 2:.3f} s/frame "
+          f"({w}x{h} padded to {p}-ray bucket, N={args.n}+{args.n}, "
+          f"chunk={cfg.val_chunk})")
+
 
 if __name__ == "__main__":
     main()
