@@ -880,7 +880,11 @@ def fused_render_apply(
         # 4096-point tiles (spike_stash_bench split sweep: s=128 fwd r32
         # beats r16; s=64 r64 ~= r32) under the raised _VMEM_LIMIT budget.
         # Power-of-two floor keeps tiles sublane-aligned for every s.
-        r_tile = _pow2_floor(max(8, 4096 // s))
+        # CRNERF_FWD_TILE_PTS overrides the points-per-tile target for
+        # A/B sweeps (scripts/ab_sweep.sh).
+        import os
+        pts = int(os.environ.get("CRNERF_FWD_TILE_PTS", 4096))
+        r_tile = _pow2_floor(max(8, pts // s))
     t = r_tile * s
     n_pad = _round_up(max(n, r_tile), r_tile)
     c_out = params.feat_w.shape[1]
@@ -967,9 +971,13 @@ def make_fused_render_train(
         # floored to powers of two so any (fwd, bwd) pair divides one
         # another and stays sublane-aligned for EVERY sample count
         # (4096//s is 21 at s=192 — neither).
-        r_tile = _pow2_floor(max(8, 4096 // s))
+        import os
+        pts = int(os.environ.get("CRNERF_FWD_TILE_PTS", 4096))
+        r_tile = _pow2_floor(max(8, pts // s))
     if r_tile_bwd <= 0:
-        r_tile_bwd = _pow2_floor(max(8, min(r_tile, 2048 // s)))
+        import os
+        pts_b = int(os.environ.get("CRNERF_BWD_TILE_PTS", 2048))
+        r_tile_bwd = _pow2_floor(max(8, min(r_tile, pts_b // s)))
     r_big = max(r_tile, r_tile_bwd)
     if r_big % min(r_tile, r_tile_bwd):
         raise ValueError("r_tile and r_tile_bwd must divide one another")

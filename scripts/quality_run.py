@@ -21,6 +21,12 @@ import os
 import sys
 import time
 
+# Multi-seed quality band at HEAD defaults (60 epochs, synthetic 112x84,
+# G=1, bf16, Pallas train kernels on TPU) — BASELINE.md "quality gate" row.
+# GATE_MIN_PSNR = mean - 2*sigma over GATE_SEEDS.
+GATE_SEEDS = (0, 1, 2, 42, 123)
+GATE_MIN_PSNR = 27.0  # provisional until all GATE_SEEDS are measured
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -60,6 +66,10 @@ def main():
                     help="synthetic scene resolution (112x84 -> 55 "
                          "steps/epoch at batch 1024, the BASELINE.md "
                          "quality-run regime)")
+    ap.add_argument("--gate", action="store_true",
+                    help="exit 1 if final val PSNR falls below the "
+                         "multi-seed band floor (BASELINE.md quality-gate "
+                         "row; only meaningful at --epochs 60 on TPU)")
     args = ap.parse_args()
 
     import jax
@@ -153,6 +163,13 @@ def main():
           f"| epochs={args.epochs} G={g} seed={cfg.seed} "
           f"dtype={cfg.compute_dtype} "
           f"pallas={cfg.pallas_train} fast_sincos={cfg.fast_sincos}")
+    if args.gate:
+        ok = val["psnr"] >= GATE_MIN_PSNR
+        print(f"gate: psnr {val['psnr']:.3f} vs floor {GATE_MIN_PSNR} "
+              f"(mean-2sigma over seeds {GATE_SEEDS}) -> "
+              f"{'PASS' if ok else 'FAIL'}")
+        if not ok:
+            sys.exit(1)
 
 
 if __name__ == "__main__":
