@@ -182,11 +182,12 @@ class Config:
     # whole train step stays a single XLA program.
     remat: bool = True  # jax.checkpoint the MLP eval (HBM <-> FLOPs trade)
     val_chunk: int = 2048  # reference forces chunk 2048 in val (train…py:180)
-    eval_bucket: bool = True  # pad full-image renders to power-of-two ray
-    # buckets with masked decode stats (render/inference.py): any number of
-    # image sizes within a 2x pixel band costs ONE compile instead of a
-    # 5-10 min TPU compile per distinct (h, w). --no-eval_bucket for the
-    # exact per-resolution path.
+    eval_bucket: bool = True  # pad full-image renders to quarter-octave
+    # ray buckets (<= 25% pad waste) with masked decode stats
+    # (render/inference.py): any number of image sizes within a 2x pixel
+    # band costs at most four cached compiles instead of a 5-10 min TPU
+    # compile per distinct (h, w). --no-eval_bucket for the exact
+    # per-resolution path.
     log_every: int = 50
     use_wandb: bool = False  # attach wandb to the MetricLogger when the
     # package is importable (reference WandbLogger, train…py:433-439);

@@ -7,14 +7,16 @@ program. Used by the eval / video apps and by validation.
 Resolution bucketing (SURVEY.md §7 hard part 1, default on): a real
 Phototourism test split has dozens of distinct image shapes, and a
 per-resolution jit means one multi-minute TPU compile per shape. Instead
-rays are padded to power-of-two BUCKETS and the per-pixel decode runs on a
-folded (P/128, 128) map — exact, because every spatial op in the shipped
+rays are padded to quarter-octave BUCKETS ({1, 1.25, 1.5, 1.75} * 2^k —
+padding waste <= 25%) and the per-pixel decode runs on a folded
+(P/128, 128) map — exact, because every spatial op in the shipped
 decode is a 1x1 conv; the only cross-pixel couplings are the style
 transform's global mean/gram statistics (computed over the valid pixels
 via a mask + traced count, models/style.py) and the mask resize (gathered
 at true pixel centers via ``sample_bilinear_uv`` == interpolate-then-index).
-Rendering any number of image sizes within a 2x pixel-count band costs ONE
-compile. ``--no-eval_bucket`` restores the per-resolution path.
+Rendering any number of image sizes within a 2x pixel-count band costs at
+most FOUR cached compiles. ``--no-eval_bucket`` restores the
+per-resolution path.
 """
 
 from __future__ import annotations
@@ -35,8 +37,22 @@ _KEEP_KEYS = ("rgb_fine", "rgb_coarse", "depth_fine", "depth_coarse",
 
 
 def bucket_size(n_pix: int) -> int:
-    """Next power of two >= n_pix (floor at one fold row block)."""
-    return max(_MIN_BUCKET, 1 << (int(n_pix) - 1).bit_length())
+    """Smallest quarter-octave point {1, 1.25, 1.5, 1.75} * 2^k >= n_pix
+    (floor at one fold row block).
+
+    Quarter-octave instead of pow2 bounds the ray-padding waste at 25%
+    (pow2 wastes up to 100%: 320x240 = 76,800 px padded to 131,072 rays
+    measured 0.969 s/frame vs 0.571 exact — pure padding). Every point is
+    a multiple of _FOLD_W for k >= 9, so the (P/128, 128) fold stays
+    exact; a 2x pixel band now costs at most FOUR cached compiles instead
+    of one, still far below per-resolution jitting."""
+    n = max(_MIN_BUCKET, int(n_pix))
+    p2 = 1 << (n - 1).bit_length()      # pow2 ceiling
+    for frac in (4, 5, 6, 7):           # {1, 1.25, 1.5, 1.75} * p2/2
+        cand = (p2 // 8) * frac
+        if cand >= n:
+            return cand
+    return p2
 
 
 def _keep(results: Dict) -> Dict:

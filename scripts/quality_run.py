@@ -23,9 +23,10 @@ import time
 
 # Multi-seed quality band at HEAD defaults (60 epochs, synthetic 112x84,
 # G=1, bf16, Pallas train kernels on TPU) — BASELINE.md "quality gate" row.
-# GATE_MIN_PSNR = mean - 2*sigma over GATE_SEEDS.
+# Measured 2026-08-19: 27.724 / 27.988 / 27.793 / 27.110 / 27.426 dB ->
+# mean 27.608, sample sigma 0.344. GATE_MIN_PSNR = mean - 2*sigma.
 GATE_SEEDS = (0, 1, 2, 42, 123)
-GATE_MIN_PSNR = 27.0  # provisional until all GATE_SEEDS are measured
+GATE_MIN_PSNR = 26.92
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

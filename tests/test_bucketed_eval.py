@@ -32,11 +32,17 @@ def _setup(**over):
 
 
 class TestBucketSize:
-    def test_pow2_with_floor(self):
+    def test_quarter_octave_with_floor(self):
         assert bucket_size(100) == 4096
-        assert bucket_size(4097) == 8192
+        assert bucket_size(4097) == 5120          # 1.25 * 4096
         assert bucket_size(8192) == 8192
-        assert bucket_size(300_000) == 2 ** 19
+        assert bucket_size(300_000) == 327_680    # 1.25 * 2^18
+        assert bucket_size(320 * 240) == 81_920   # 6.7% pad, was 2^17
+        # every bucket is a whole number of 128-wide fold rows, and
+        # padding waste is bounded at 25%
+        for n in (4096, 5000, 70_000, 76_800, 131_073, 999_999):
+            p = bucket_size(n)
+            assert p % 128 == 0 and p >= n and p <= 1.25 * n + 4096
 
 
 class TestBucketedMatchesExact:
