@@ -165,6 +165,10 @@ class Config:
     s2d_heads: bool = False  # space-to-depth schedule for the appearance
     # encoder's wide 3x3 convs (identical math/params; MXU-utilization
     # experiment — models/common.py s2d_conv3x3)
+    s2d_stack: bool = False  # WHOLE-STACK space-to-depth appearance
+    # encoder: pack once per pyramid level, convs + halos stay packed,
+    # maxpools unpack free as cross-phase maxes (models/appearance.py)
+    # — removes the per-conv repack traffic that sank s2d_heads
     pdf_impl: str = "onehot"  # sample_pdf gather realization: 'onehot'
     # (MXU contractions) or 'maskreduce' (fused masked reduces, no HBM
     # one-hot operands — core/sampling.py; identical values, A/B on TPU)
@@ -245,6 +249,7 @@ _BOOL_FIELDS = {
     "use_pallas", "pallas_train", "pallas_render", "pallas_interpret",
     "pallas_stash", "fast_sincos", "remat", "donate_state", "profile",
     "use_wandb", "eval_bucket", "hoist_heads", "auto_resume", "s2d_heads",
+    "s2d_stack",
     "chunk_unroll",
 }
 

@@ -18,9 +18,12 @@ from flax import linen as nn
 
 from crnerf_tpu.models.common import (
     ConvRefl,
+    _d2s,
+    _s2d,
     adaptive_avg_pool2d,
     leaky_relu,
     max_pool_2x2,
+    packed_max_pool,
     reflect_pad,
 )
 
@@ -31,11 +34,40 @@ class AppearanceEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32  # conv compute dtype (params stay fp32)
     s2d: bool = False  # space-to-depth schedule for the wide 3x3 convs
     # (identical math/params — see models/common.py s2d_conv3x3)
+    s2d_stack: bool = False  # WHOLE-STACK space-to-depth: pack once per
+    # pyramid level, keep conv2..conv6 in packed space (halos via
+    # packed_reflect_pad1) and let each 2x2 maxpool unpack for free as a
+    # cross-phase max. Identical math/params to the plain schedule
+    # (tests/test_models.py pins it); kills the per-conv repack traffic
+    # that sank the per-conv s2d A/B (BASELINE.md 2026-08-19, -3.7%).
 
     @nn.compact
     def __call__(self, x):
         """x: (N, H, W, 3) in [0, 1] -> (N, 32, 32, out_channel)."""
         dt = self.dtype
+        if self.s2d_stack and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            x = nn.Conv(3, (1, 1), name="conv1", dtype=dt)(x)
+            xp = _s2d(x)
+            xp = leaky_relu(ConvRefl(64, name="conv2", dtype=dt,
+                                     packed=True)(xp))
+            xp = leaky_relu(ConvRefl(64, name="conv3", dtype=dt,
+                                     packed=True)(xp))
+            xp = _s2d(packed_max_pool(xp))
+            xp = leaky_relu(ConvRefl(128, name="conv4", dtype=dt,
+                                     packed=True)(xp))
+            xp = leaky_relu(ConvRefl(128, name="conv5", dtype=dt,
+                                     packed=True)(xp))
+            x = packed_max_pool(xp)
+            if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                xp = _s2d(x)
+                x = _d2s(ConvRefl(128, name="conv6", dtype=dt,
+                                  packed=True)(xp))
+                x = leaky_relu(x)
+            else:
+                x = leaky_relu(ConvRefl(128, name="conv6", dtype=dt)(x))
+            x = adaptive_avg_pool2d(x, (self.pool_hw, self.pool_hw))
+            x = nn.Conv(self.out_channel, (1, 1), name="conv7", dtype=dt)(x)
+            return leaky_relu(x).astype(jnp.float32)
         sd = self.s2d
         x = nn.Conv(3, (1, 1), name="conv1", dtype=dt)(x)
         x = leaky_relu(ConvRefl(64, name="conv2", dtype=dt)(x))

@@ -67,6 +67,15 @@ def _s2d_assembly() -> np.ndarray:
     return A
 
 
+def _pack_kernel3x3(kernel):
+    """(3, 3, C, F) -> the (2, 2, 4C, 4F) packed kernel of the equivalent
+    2x2 conv on space-to-depth inputs (channel order (p, q, c))."""
+    c, f = kernel.shape[2], kernel.shape[3]
+    A = jnp.asarray(_s2d_assembly(), kernel.dtype)
+    k2 = jnp.einsum("yxcf,yxrsabpq->rsabcpqf", kernel, A)
+    return k2.reshape(2, 2, 4 * c, 4 * f)
+
+
 def s2d_conv3x3(x, kernel, bias=None):
     """reflect-pad-1 + VALID 3x3 conv computed in space-to-depth form:
     a 2x2 conv on (H/2, W/2, 4C) with a (2, 2, 4C, 4F) packed kernel.
@@ -77,17 +86,57 @@ def s2d_conv3x3(x, kernel, bias=None):
     heads), while the packed form contracts over 4C with 4F outputs at
     16/9 the FLOPs. Net measured win on the bench head shapes decides the
     config default (Config.s2d_heads)."""
-    c, f = kernel.shape[2], kernel.shape[3]
-    A = jnp.asarray(_s2d_assembly(), kernel.dtype)
-    k2 = jnp.einsum("yxcf,yxrsabpq->rsabcpqf", kernel, A)
-    k2 = k2.reshape(2, 2, 4 * c, 4 * f)
-    xp = reflect_pad(x, 1)  # H, W even -> padded dims even
     y = jax.lax.conv_general_dilated(
-        _s2d(xp), k2, (1, 1), "VALID",
+        _s2d(reflect_pad(x, 1)), _pack_kernel3x3(kernel), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     out = _d2s(y)
     return out if bias is None else out + bias
+
+
+def packed_reflect_pad1(xp):
+    """Reflect-pad-1 IN PACKED SPACE: (B, I, J, 4C) -> (B, I+1, J+1, 4C).
+
+    The packed image of the reflect-padded original re-pairs rows as
+    (-1,0), (1,2), ..., (H-1,H): new phase p=0 rows are the old phase-1
+    rows [0, 0..I-1] (row -1 reflects to row 1 = old[0].p1) and new p=1
+    rows are the old phase-0 rows [0..I-1, I-1] (row H reflects to H-2 =
+    old[I-1].p0); columns analogously on q. Pure slice/concat — no
+    original-space round trip."""
+    b, i, j, c4 = xp.shape
+    c = c4 // 4
+    v = xp.reshape(b, i, j, 2, 2, c)
+    p0 = jnp.concatenate([v[:, :1, :, 1], v[:, :, :, 1]], 1)
+    p1 = jnp.concatenate([v[:, :, :, 0], v[:, i - 1:i, :, 0]], 1)
+    v = jnp.stack([p0, p1], axis=3)             # (b, i+1, j, 2, 2(q), c)
+    q0 = jnp.concatenate([v[:, :, :1, :, 1], v[:, :, :, :, 1]], 2)
+    q1 = jnp.concatenate([v[:, :, :, :, 0], v[:, :, j - 1:j, :, 0]], 2)
+    v = jnp.stack([q0, q1], axis=4)             # (b, i+1, j+1, 2, 2, c)
+    return v.reshape(b, i + 1, j + 1, c4)
+
+
+def packed_conv3x3(xp, kernel, bias=None):
+    """3x3 reflect-conv applied ENTIRELY in packed (s2d) space:
+    (B, I, J, 4C) -> (B, I, J, 4F). Same math as s2d_conv3x3 but the
+    halo comes from packed_reflect_pad1, so chained convs never unpack
+    (the whole-stack schedule, AppearanceEncoder s2d_stack)."""
+    y = jax.lax.conv_general_dilated(
+        packed_reflect_pad1(xp), _pack_kernel3x3(kernel), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + jnp.tile(bias, 4)  # output channels are (p, q, f)
+    return y
+
+
+def packed_max_pool(xp):
+    """MaxPool2d(2,2) of the ORIGINAL image, computed on its packed form:
+    each original 2x2 block IS one packed pixel's four (p, q) phases, so
+    the pool is a cross-phase max that UNPACKS for free:
+    (B, I, J, 4C) -> (B, I, J, C) in original layout at half resolution."""
+    b, i, j, c4 = xp.shape
+    c = c4 // 4
+    return xp.reshape(b, i, j, 4, c).max(axis=3)
 
 
 class _ConvParams(nn.Module):
@@ -97,12 +146,14 @@ class _ConvParams(nn.Module):
     features: int
     kernel: int
     use_bias: bool
+    in_features: int = 0  # 0 -> infer from x (packed inputs carry 4C)
 
     @nn.compact
     def __call__(self, x, apply_fn):
+        c_in = self.in_features or x.shape[-1]
         k = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (self.kernel, self.kernel, x.shape[-1], self.features),
+            (self.kernel, self.kernel, c_in, self.features),
         )
         b = (
             self.param("bias", nn.initializers.zeros, (self.features,))
@@ -124,9 +175,24 @@ class ConvRefl(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     s2d: bool = False
+    packed: bool = False  # x is ALREADY in s2d space (4C channels); conv
+    # and halo stay packed (whole-stack schedule) — params identical
 
     @nn.compact
     def __call__(self, x):
+        if self.packed:
+            assert self.kernel == 3
+
+            def apply_fn(x_, k, b):
+                x_, k, b = nn.dtypes.promote_dtype(
+                    x_, k, b, dtype=self.dtype
+                )
+                return packed_conv3x3(x_, k, b)
+
+            return _ConvParams(
+                self.features, self.kernel, self.use_bias,
+                in_features=x.shape[-1] // 4, name="Conv_0",
+            )(x, apply_fn)
         use_s2d = (
             self.s2d and self.kernel == 3
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0

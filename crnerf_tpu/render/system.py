@@ -62,11 +62,13 @@ def build_modules(cfg: Config) -> SystemModules:
     coarse = mk_mlp()
     fine = mk_mlp() if cfg.N_importance > 0 else None
     enc_a = (
-        AppearanceEncoder(cfg.nerf_out_dim, dtype=dt, s2d=cfg.s2d_heads)
+        AppearanceEncoder(cfg.nerf_out_dim, dtype=dt, s2d=cfg.s2d_heads,
+                          s2d_stack=cfg.s2d_stack)
         if cfg.encode_a else None
     )
     enc_cont = (
-        AppearanceEncoder(cfg.nerf_out_dim, dtype=dt, s2d=cfg.s2d_heads)
+        AppearanceEncoder(cfg.nerf_out_dim, dtype=dt, s2d=cfg.s2d_heads,
+                          s2d_stack=cfg.s2d_stack)
         if cfg.encode_c else None
     )
     if cfg.encode_a:

@@ -206,6 +206,52 @@ class TestAppearance:
             m0.apply(params, xo), m1.apply(params, xo), atol=2e-5
         )
 
+    def test_encoder_s2d_stack_schedule_identical(self):
+        """s2d_stack=True (whole-stack packed schedule: packed halos,
+        cross-phase-max pools) is the SAME function as the plain encoder
+        on %4-sized maps — params initialized under one variant drive the
+        other; outputs and parameter gradients must agree."""
+        import jax.numpy as jnp
+
+        m0 = AppearanceEncoder(out_channel=64)
+        m1 = AppearanceEncoder(out_channel=64, s2d_stack=True)
+        x = jax.random.uniform(KEY, (2, 96, 128, 3))
+        params = m0.init(KEY, x)
+        p1 = m1.init(KEY, x)
+        assert jax.tree.map(jnp.shape, params) == jax.tree.map(
+            jnp.shape, p1
+        )
+        out0 = m0.apply(params, x)
+        out1 = m1.apply(params, x)
+        np.testing.assert_allclose(out0, out1, atol=2e-5)
+        g0 = jax.grad(lambda p: jnp.sum(m0.apply(p, x) ** 2))(params)
+        g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x) ** 2))(params)
+        # same outlier policy as the per-conv s2d test above: fp
+        # reassociation can flip a maxpool argmax at isolated pixels
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            a, b = np.asarray(a), np.asarray(b)
+            rel_fro = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+            assert rel_fro < 1e-3, rel_fro
+            bad = np.abs(a - b) > 1e-2 + 1e-2 * np.abs(b)
+            assert bad.mean() < 1e-3, bad.mean()
+        # non-%4 input sizes fall back to the plain schedule
+        xo = jax.random.uniform(KEY, (1, 91, 125, 3))
+        np.testing.assert_allclose(
+            m0.apply(params, xo), m1.apply(params, xo), atol=2e-5
+        )
+
+    def test_packed_reflect_pad_matches_original_space(self):
+        """packed_reflect_pad1(_s2d(x)) == _s2d(reflect_pad(x, 1)) — the
+        phase-shift re-pairing is exactly the packed padded image."""
+        from crnerf_tpu.models.common import (
+            _s2d, packed_reflect_pad1, reflect_pad,
+        )
+
+        x = jax.random.uniform(KEY, (2, 8, 12, 5))
+        np.testing.assert_array_equal(
+            packed_reflect_pad1(_s2d(x)), _s2d(reflect_pad(x, 1))
+        )
+
     def test_legacy_encoder3_decoder3(self):
         e = Encoder3()
         x = jax.random.uniform(KEY, (1, 64, 64, 3))
