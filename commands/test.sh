@@ -6,6 +6,9 @@ ROOT_DIR=${1:?usage: test.sh <scene_root> <scene_name> [exp_name]}
 SCENE=${2:?scene name}
 EXP=${3:-exp}
 
+# bfloat16 matmuls match the training recipe (train.sh) and the measured
+# eval numbers in BASELINE.md (0.606 s/frame bucketed at 320x240);
+# drop the flag for fp32 if score-vs-torch bit-level comparison matters
 python -m crnerf_tpu eval \
   --root_dir "$ROOT_DIR" \
   --dataset_name phototourism \
@@ -13,6 +16,7 @@ python -m crnerf_tpu eval \
   --split test_test \
   --img_downscale 2 \
   --N_samples 256 --N_importance 256 --chunk 16384 \
+  --compute_dtype bfloat16 \
   --ckpt_path ./out/ckpts/"$EXP" \
   --save_dir ./out
 

@@ -49,10 +49,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Raised Mosaic VMEM budget for the big-tile stash kernels: the default
-# scoped limit is an XLA flag default (16 MB), not the physical VMEM;
-# larger r_tile stash blocks need headroom above it.
-_VMEM_LIMIT = 100 * 1024 * 1024
+import os as _os
+
+# Raised Mosaic scoped-VMEM budget for the big-tile stash kernels: the
+# 16 MB default is an XLA flag default, not the physical VMEM (128 MB on
+# v5e). 100M fits the shipped tiles; CRNERF_VMEM_MB overrides for tile
+# A/Bs (the 8192-pt fwd tile needs ~100.6M — BASELINE.md 2026-08-19).
+_VMEM_LIMIT = int(_os.environ.get("CRNERF_VMEM_MB", 100)) * 1024 * 1024
 
 
 def _fwd_compiler_params():

@@ -33,4 +33,9 @@ run fwd_arbitrary CRNERF_FWD_ARBITRARY=1  # parallel fwd semantics are
 # bound peak memory per chunk, and a bigger G amortizes the ~8-10 ms
 # flat tail (speed-of-light table, BASELINE.md)
 run g32           CRNERF_BENCH_G=32
+run s2d_stack     CRNERF_BENCH_S2D_STACK=1  # whole-stack packed encoder
+run fwd_tile_2048 CRNERF_FWD_TILE_PTS=2048  # tile A/Bs (2026-08-19 sweep:
+run bwd_tile_1024 CRNERF_BWD_TILE_PTS=1024  # 4096-pt bwd -5%; 1024-pt and
+run bwd_tile_4096 CRNERF_BWD_TILE_PTS=4096  # G=24 within day noise)
+run g24           CRNERF_BENCH_G=24
 echo "sweep done $(date -u)" | tee -a "$OUT"
