@@ -137,6 +137,13 @@ class Config:
     # the vjp serializes head compute against the scan, so OFF by
     # default; revisit at higher chunk counts.
 
+    fold_heads: bool = True  # run the appearance encoder on each chunk's
+    # grids as ONE folded 4-D batch inside the loss instead of vmapped
+    # per grid: identical math, but vmap lowers to 5-D batch-grouped
+    # convs whose TPU emitters run at 14-25% of peak while the 4-D form
+    # measures at ~peak (train/step.py mean_over_grids, BASELINE.md
+    # 2026-08-19). CGNet stays vmapped (per-grid batch-1 BN semantics).
+
     def resolved_chunks(self) -> int:
         if self.grad_accum_chunks > 0:
             return self.grad_accum_chunks
@@ -249,7 +256,7 @@ _BOOL_FIELDS = {
     "use_pallas", "pallas_train", "pallas_render", "pallas_interpret",
     "pallas_stash", "fast_sincos", "remat", "donate_state", "profile",
     "use_wandb", "eval_bucket", "hoist_heads", "auto_resume", "s2d_heads",
-    "s2d_stack",
+    "s2d_stack", "fold_heads",
     "chunk_unroll",
 }
 

@@ -119,7 +119,31 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
         per-grid scalars (grad of mean == DDP pmean); BN stats likewise
         averaged across grids (the DP pmean analog). ``heads_g`` set (a
         possibly-empty dict) -> the hoisted-heads variant with a vmapped
-        heads argument."""
+        heads argument.
+
+        fold_heads (default ON): the appearance encoder runs ONCE on the
+        grids' whole images FOLDED into a plain 4-D batch instead of
+        vmapped per grid. Identical math (convs/pools are per-sample;
+        enc_a has no batch coupling — tests pin grad equality), but the
+        vmapped form lowers to 5-D batch-grouped convolutions whose TPU
+        emitters run at 14-25% of MXU peak, while the SAME convs on a
+        4-D batch measure at ~peak (scripts/spike_packed_conv.py,
+        BASELINE.md 2026-08-19). Computed inside the differentiated loss,
+        so no vjp plumbing (unlike hoist_heads); CGNet stays vmapped to
+        keep the reference's per-grid batch-1 BN semantics."""
+        if cfg.encode_a and getattr(cfg, "fold_heads", True) and (
+            heads_g is None or "a" not in heads_g
+        ):
+            w = batch_g["whole_img"]            # (G, 1, Ha, Wa, 3)
+            g, b1 = w.shape[0], w.shape[1]
+            folded = ((w + 1.0) / 2.0).reshape(g * b1, *w.shape[2:])
+            a_emb = system.m.enc_a.apply(
+                {"params": params["enc_a"]}, folded
+            )
+            heads_g = dict(heads_g or {})
+            heads_g["a"] = a_emb.reshape(g, b1, *a_emb.shape[1:])
+        if heads_g == {}:
+            heads_g = None
         if heads_g is None:
             totals, aux = jax.vmap(
                 one_grid_loss, in_axes=(None, None, 0, 0, 0, None)

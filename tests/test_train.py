@@ -596,6 +596,46 @@ class TestGridsPerStep:
             float(np.mean(singles)), rel=1e-5
         )
 
+    def test_fold_heads_matches_vmapped_heads(self):
+        """fold_heads (enc_a on the grids folded into one 4-D batch) ==
+        per-grid vmapped enc_a: loss, params, cache. The fold is a pure
+        conv-batching change (no cross-sample coupling in enc_a)."""
+        from crnerf_tpu.render.system import CrNerfSystem
+
+        cfg = Config(**TINY).replace(perturb=0.0)
+        assert cfg.fold_heads  # the shipped default
+        system, tx, sched, state = _setup(cfg)
+        G = 3
+        parts = [_batch(cfg, seed=s) for s in range(G)]
+        for g in range(G):
+            parts[g]["ts"][:] = g
+        jb = jax.tree.map(
+            jnp.asarray,
+            {k: np.stack([p[k] for p in parts]) for k in parts[0]},
+        )
+        step_f = jax.jit(make_train_step(system, tx, sched,
+                                         grids_per_step=G))
+        system_u = CrNerfSystem(cfg.replace(fold_heads=False))
+        step_u = jax.jit(make_train_step(system_u, tx, sched,
+                                         grids_per_step=G))
+        s_f, m_f = step_f(state, jb)
+        s_u, m_u = step_u(state, jb)
+        assert float(m_f["loss"]) == pytest.approx(
+            float(m_u["loss"]), rel=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(s_f.params)),
+            jax.tree.leaves(jax.device_get(s_u.params)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            )
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(s_f.embedding_cache)),
+            np.asarray(jax.device_get(s_u.embedding_cache)),
+            rtol=1e-4, atol=1e-6,
+        )
+
     def test_grad_accum_chunks_match_vmapped(self):
         """C-chunked gradient accumulation == the vmapped G step (fp
         order aside): params, cache, BN stats, metrics."""
