@@ -109,7 +109,7 @@ def main():
             # (CRNERF_BENCH_S2D=1 to A/B; default follows Config)
             s2d_heads=bool(int(os.environ.get("CRNERF_BENCH_S2D", "0"))),
             s2d_stack=bool(int(os.environ.get("CRNERF_BENCH_S2D_STACK", "0"))),
-            fold_heads=bool(int(os.environ.get("CRNERF_BENCH_FOLD", "1"))),
+            fold_heads=bool(int(os.environ.get("CRNERF_BENCH_FOLD", "0"))),
             # sample_pdf gather realization (CRNERF_BENCH_PDF=maskreduce
             # to A/B; default follows Config)
             pdf_impl=os.environ.get("CRNERF_BENCH_PDF", "onehot"),

@@ -137,12 +137,15 @@ class Config:
     # the vjp serializes head compute against the scan, so OFF by
     # default; revisit at higher chunk counts.
 
-    fold_heads: bool = True  # run the appearance encoder on each chunk's
-    # grids as ONE folded 4-D batch inside the loss instead of vmapped
-    # per grid: identical math, but vmap lowers to 5-D batch-grouped
-    # convs whose TPU emitters run at 14-25% of peak while the 4-D form
-    # measures at ~peak (train/step.py mean_over_grids, BASELINE.md
-    # 2026-08-19). CGNet stays vmapped (per-grid batch-1 BN semantics).
+    fold_heads: bool = False  # run the appearance encoder on each
+    # chunk's grids as ONE folded 4-D batch inside the loss instead of
+    # vmapped per grid. Identical math (tested), and the FORWARD convs
+    # measure at MXU peak in isolation (spike_packed_conv.py) — but the
+    # TPU A/B measured 146.5k/151.2k vs 167.6k same-hour vmapped
+    # baseline (-10..-13%): the folded encoder's BACKWARD (wgrad over
+    # the big batch + the fold's vjp transposes) costs far more than
+    # the vmapped heads' entire fwd+bwd. Seventh recorded conv-head
+    # rejection (BASELINE.md 2026-08-19 evening); OFF by default.
 
     def resolved_chunks(self) -> int:
         if self.grad_accum_chunks > 0:

@@ -22,6 +22,24 @@ class TestConfig:
         assert cfg.in_channels_xyz == 93 and cfg.in_channels_dir == 27
         assert cfg.grid_hw == 32
 
+    def test_perf_routing_defaults_are_the_measured_optimum(self):
+        """Pin the perf-routing defaults to the configuration BASELINE.md
+        measured fastest on TPU (166-170k rays/s at HEAD), so a future
+        knob flip must come with a fresh A/B, not by accident. Each
+        default below has a measured rejection of its alternative
+        recorded in BASELINE.md (2026-08-17..19)."""
+        cfg = Config()
+        assert cfg.use_pallas and cfg.pallas_train and cfg.pallas_render
+        assert cfg.pallas_stash  # +25-30% over full recompute
+        assert cfg.pdf_impl == "onehot"  # maskreduce measured -1.4%
+        assert cfg.fast_sincos and cfg.eval_bucket
+        assert not cfg.hoist_heads   # measured -2.8% (vjp serializes)
+        assert not cfg.s2d_heads     # measured -3.7% (repack traffic)
+        assert not cfg.s2d_stack     # measured neutral, adds complexity
+        assert not cfg.fold_heads    # measured -10..-13% (folded bwd)
+        assert not cfg.chunk_unroll  # stash HBM x unroll OOMs on TPU
+        assert cfg.grad_accum_chunks == 0  # AUTO <=8 live stash grids
+
     def test_cli_parsing_and_negative_bools(self):
         cfg = get_config([
             "--batch_size", "256", "--no-use_mask", "--lr", "1e-3",

@@ -599,11 +599,13 @@ class TestGridsPerStep:
     def test_fold_heads_matches_vmapped_heads(self):
         """fold_heads (enc_a on the grids folded into one 4-D batch) ==
         per-grid vmapped enc_a: loss, params, cache. The fold is a pure
-        conv-batching change (no cross-sample coupling in enc_a)."""
+        conv-batching change (no cross-sample coupling in enc_a).
+        Default is OFF after the TPU A/B rejection (BASELINE.md
+        2026-08-19: folded bwd -10..-13%); the knob and its exact-math
+        guarantee are kept."""
         from crnerf_tpu.render.system import CrNerfSystem
 
-        cfg = Config(**TINY).replace(perturb=0.0)
-        assert cfg.fold_heads  # the shipped default
+        cfg = Config(**TINY).replace(perturb=0.0, fold_heads=True)
         system, tx, sched, state = _setup(cfg)
         G = 3
         parts = [_batch(cfg, seed=s) for s in range(G)]
