@@ -123,6 +123,14 @@ class Config:
     # quality 27.85 dB vs the 27.0-27.3 band). HBM cost ~(L+1.5)*W
     # values/point over one pass's fwd->bwd lifetime — hence the auto
     # chunking below at large G.
+    eval_tile_pts: int = 2048  # points-per-tile target for the fused
+    # forward at INFERENCE (0 = the kernel's train default, 4096). At
+    # eval the 2048-pt tile measured 0.561/0.610 s/frame exact/bucketed
+    # vs 0.610/0.672 for 4096 in the same sweep (-8%, XLA control leg
+    # flat — BASELINE.md 2026-08-19): eval renders only the forward, so
+    # the smaller tile's better VMEM pipelining wins without the
+    # backward-stash considerations that pick 4096 for training.
+    # CRNERF_FWD_TILE_PTS still overrides both paths for sweeps.
     grad_accum_chunks: int = 0  # split the G grids into this many
     # sequential gradient-accumulation chunks (lax.scan, conv heads
     # hoisted out and batched over all G) — bounds the live stash memory

@@ -143,8 +143,21 @@ def _full_fused_eval(flax_params, xyz, rays_d, z_vals, noise_std,
         sg = jax.lax.stop_gradient
         return fn(kp, sg(pos), sg(fused["raw_dirs"]), sg(z_vals),
                   sg(noise))
+    # Inference-only tile target (config.py eval_tile_pts): the forward
+    # alone pipelines best at 2048-pt tiles (-8% s/frame measured) while
+    # training's fwd+stash-bwd pair picks 4096. The env sweep knob
+    # (CRNERF_FWD_TILE_PTS, read inside the kernel wrapper when
+    # r_tile=0) keeps precedence for A/Bs.
+    import os as _os
+
+    from crnerf_tpu.ops.fused_render import _pow2_floor
+
+    r_tile = 0
+    pts = int(fused.get("tile_pts") or 0)
+    if pts > 0 and "CRNERF_FWD_TILE_PTS" not in _os.environ:
+        r_tile = _pow2_floor(max(8, pts // s))
     return fused_render_apply(
-        kp, pos, fused["raw_dirs"], z_vals, noise,
+        kp, pos, fused["raw_dirs"], z_vals, noise, r_tile=r_tile,
         n_emb_xyz=n_emb_xyz, n_emb_dir=fused["n_emb_dir"], **kw,
     )
 

@@ -129,9 +129,11 @@ def main():
     run_bucket(1)
     t1 = run_bucket(2)
     t2 = run_bucket(4)
+    # the bucketed Renderer tiles by cfg.chunk (production default 8192),
+    # NOT by val_chunk — label the tile it actually ran
     print(f"pallas-bucket: {(t2 - t1) / 2:.3f} s/frame "
           f"({w}x{h} padded to {p}-ray bucket, N={args.n}+{args.n}, "
-          f"chunk={cfg.val_chunk})")
+          f"chunk={min(cfg.chunk, p)})")
 
 
 if __name__ == "__main__":

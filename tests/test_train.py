@@ -875,6 +875,16 @@ class TestPallasInferenceRoute:
             np.asarray(fused["rgb_fine"]), np.asarray(ref["rgb_fine"]),
             atol=2e-5,
         )
+        # the inference tile target (eval_tile_pts, default 2048 after
+        # the 2026-08-19 eval A/B) is pure scheduling: any value == the
+        # kernel's train default (0 -> 4096-pt tiles)
+        for pts in (0, 512):
+            tiled = fwd(cfg.replace(use_pallas=True, pallas_interpret=True,
+                                    eval_tile_pts=pts))
+            np.testing.assert_allclose(
+                np.asarray(tiled["rgb_fine"]),
+                np.asarray(fused["rgb_fine"]), atol=2e-5,
+            )
 
 
 class TestShardedEvalRender:
