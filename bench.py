@@ -110,6 +110,10 @@ def main():
             s2d_heads=bool(int(os.environ.get("CRNERF_BENCH_S2D", "0"))),
             s2d_stack=bool(int(os.environ.get("CRNERF_BENCH_S2D_STACK", "0"))),
             fold_heads=bool(int(os.environ.get("CRNERF_BENCH_FOLD", "0"))),
+            # CRNERF_BENCH_HOIST=1 (+FOLD=1) A/Bs the hoisted-heads vjp;
+            # fold+hoist = enc_a folded 4-D OUTSIDE the scan
+            hoist_heads=bool(int(os.environ.get("CRNERF_BENCH_HOIST",
+                                                "0"))),
             # sample_pdf gather realization (CRNERF_BENCH_PDF=maskreduce
             # to A/B; default follows Config)
             pdf_impl=os.environ.get("CRNERF_BENCH_PDF", "onehot"),

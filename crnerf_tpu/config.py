@@ -154,6 +154,11 @@ class Config:
     # the big batch + the fold's vjp transposes) costs far more than
     # the vmapped heads' entire fwd+bwd. Seventh recorded conv-head
     # rejection (BASELINE.md 2026-08-19 evening); OFF by default.
+    # With hoist_heads=True the fold moves into the hoisted vjp instead
+    # (train/step.py heads_fn): enc_a traced non-vmapped on the folded
+    # 4-D batch OUTSIDE the chunk scan, so both directions lower to the
+    # plain emitter-peak conv forms — the combination the two single-knob
+    # rejections never measured.
 
     def resolved_chunks(self) -> int:
         if self.grad_accum_chunks > 0:

@@ -212,7 +212,25 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
                     a_emb = None
                     masks = None
                     aux_bs = None
-                    if cfg.encode_a:
+                    if cfg.encode_a and getattr(cfg, "fold_heads", False):
+                        # fold+hoist: enc_a once on the grids folded into
+                        # a plain 4-D batch, OUTSIDE the chunk scan. The
+                        # in-loss fold (mean_over_grids) was rejected on
+                        # TPU because its cotangents, flowing through the
+                        # fold reshapes inside the differentiated chunk
+                        # scan, realize as giant batch-transposed wgrad
+                        # contractions (BASELINE.md 2026-08-19, 34 ms x2);
+                        # here the vjp is built from a non-vmapped 4-D
+                        # trace so fwd AND bwd are the emitter-peak plain
+                        # conv forms. Exact math either way (enc_a has no
+                        # cross-sample coupling).
+                        gw, b1 = whole01_all.shape[:2]
+                        folded = whole01_all.reshape(
+                            gw * b1, *whole01_all.shape[2:]
+                        )
+                        a4 = system.m.enc_a.apply({"params": enc_p}, folded)
+                        a_emb = a4.reshape(gw, b1, *a4.shape[1:])
+                    elif cfg.encode_a:
                         a_emb = jax.vmap(
                             lambda w: system.m.enc_a.apply(
                                 {"params": enc_p}, w

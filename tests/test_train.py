@@ -638,6 +638,49 @@ class TestGridsPerStep:
             rtol=1e-4, atol=1e-6,
         )
 
+    def test_hoist_and_fold_hoist_match_inscan(self):
+        """hoist_heads (enc_a/CGNet outside the chunk scan, grads via
+        vjp cotangents) and the fold+hoist combination (enc_a traced
+        non-vmapped on the folded 4-D batch inside the hoisted vjp —
+        the variant the two single-knob TPU rejections never measured)
+        == the in-scan chunked step: loss, params, cache."""
+        cfg = Config(**TINY).replace(perturb=0.0)
+        system, tx, sched, state = _setup(cfg)
+        G = 4
+        parts = [_batch(cfg, seed=s) for s in range(G)]
+        for g in range(G):
+            parts[g]["ts"][:] = g
+        jb = jax.tree.map(
+            jnp.asarray,
+            {k: np.stack([p[k] for p in parts]) for k in parts[0]},
+        )
+        step_ref = jax.jit(make_train_step(system, tx, sched,
+                                           grids_per_step=G,
+                                           grad_accum_chunks=2))
+        s_ref, m_ref = step_ref(state, jb)
+        for variant in (dict(hoist_heads=True),
+                        dict(hoist_heads=True, fold_heads=True)):
+            sys_v = CrNerfSystem(cfg.replace(**variant))
+            step_v = jax.jit(make_train_step(sys_v, tx, sched,
+                                             grids_per_step=G,
+                                             grad_accum_chunks=2))
+            s_v, m_v = step_v(state, jb)
+            assert float(m_v["loss"]) == pytest.approx(
+                float(m_ref["loss"]), rel=1e-5
+            ), variant
+            for a, b in zip(
+                jax.tree.leaves(jax.device_get(s_ref.params)),
+                jax.tree.leaves(jax.device_get(s_v.params)),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+                )
+            np.testing.assert_allclose(
+                np.asarray(jax.device_get(s_ref.embedding_cache)),
+                np.asarray(jax.device_get(s_v.embedding_cache)),
+                rtol=1e-4, atol=1e-6,
+            )
+
     def test_grad_accum_chunks_match_vmapped(self):
         """C-chunked gradient accumulation == the vmapped G step (fp
         order aside): params, cache, BN stats, metrics."""
