@@ -1,7 +1,8 @@
 """Single CLI dispatcher: ``python -m crnerf_tpu <cmd> [flags]``.
 
 Commands mirror the reference's five entry points (SURVEY.md §2.6/§7):
-prepare | train | eval | metrics | video.
+prepare | train | eval | metrics | video — plus ``serve``, the resident
+render server the reference has no equivalent of (apps/serve.py).
 """
 
 from __future__ import annotations
@@ -14,6 +15,7 @@ COMMANDS = {
     "eval": "crnerf_tpu.apps.eval",
     "metrics": "crnerf_tpu.apps.eval_metric",
     "video": "crnerf_tpu.apps.video",
+    "serve": "crnerf_tpu.apps.serve",
 }
 
 

@@ -1,0 +1,379 @@
+"""Persistent render server: the production-serving front end.
+
+The reference has no serving story — eval.py / appearance_modification_
+video.py (SURVEY.md §2.6) reload the checkpoint and pay model setup per
+process, and on TPU a fresh process would also pay the multi-minute XLA
+compile per image shape. This app keeps one model resident and serves
+renders over a line-delimited-JSON TCP protocol, reusing the bucketed
+``Renderer`` so every request within a 2x pixel band after the first hits
+an already-compiled executable (render/inference.py).
+
+Protocol: one JSON object per line, one JSON reply per line.
+
+  {"op": "ping"}
+  {"op": "encode_style", "id": "starry", "image_path": "a.png"}
+  {"op": "render", "c2w": [[...3 rows x 4...]], "wh": [W, H],
+   "fov": 60.0,                 # or "K": [[3x3]]
+   "near": 0.0, "far": 5.0,     # optional; demo-standard 0/5 default
+                                # (reference datasets/PhototourismDataset.py:14-16)
+   "style_id": "starry",        # or "style_image": "a.png"
+   "out_path": "f.png"}         # or "inline": true -> base64 PNG
+  {"op": "render_path", "scene": "brandenburg_gate", "n_frames": 24,
+   "wh": [W, H], "style_id": "starry", "out_dir": "frames/"}
+  {"op": "stats"}
+  {"op": "shutdown"}
+
+Every reply carries {"ok": true/false}; render replies add wall-clock
+"ms", the ray "bucket" used, and whether that bucket was a fresh compile.
+Requests are served by a thread pool but renders serialize on one lock
+(one chip); the compile caches make concurrent mixed-size clients cheap.
+
+Run:  python -m crnerf_tpu serve --ckpt_path out/ckpts/exp --port 7060 \
+          --warmup 320x240
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import os
+import socket
+import socketserver
+import threading
+import time
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from crnerf_tpu.config import Config
+from crnerf_tpu.core.rays import get_ray_directions, make_ray_buffer
+from crnerf_tpu.render.camera_path import (
+    DEMO_ANCHORS,
+    PATH_PRESETS,
+    fov_intrinsics,
+    resolve_scene,
+    test_path_rays,
+)
+from crnerf_tpu.render.inference import Renderer, bucket_size
+
+
+class ServeError(ValueError):
+    """Client error: reported in the JSON reply, never kills the server."""
+
+
+def _png_bytes(rgb01: np.ndarray) -> bytes:
+    import imageio.v2 as imageio
+
+    buf = io.BytesIO()
+    imageio.imwrite(
+        buf, (np.clip(rgb01, 0, 1) * 255).astype(np.uint8), format="png"
+    )
+    return buf.getvalue()
+
+
+class RenderService:
+    """The socket-free core: one resident model + compile/style caches.
+
+    Kept separate from the TCP layer so tests (and embedders) can drive
+    ``handle(dict) -> dict`` directly.
+    """
+
+    def __init__(self, cfg: Config, variables: Dict):
+        self.cfg = cfg
+        self.renderer = Renderer(cfg, variables)
+        self.styles: Dict[str, np.ndarray] = {}
+        self.lock = threading.Lock()  # one chip: renders serialize
+        self.n_renders = 0
+        self.render_ms: list = []
+        self._shutdown = threading.Event()
+
+    # ----------------------------------------------------------- helpers
+    def _load_style(self, path: str) -> np.ndarray:
+        from crnerf_tpu.apps.video import _load_style
+
+        if not os.path.exists(path):
+            raise ServeError(f"style image not found: {path}")
+        return _load_style(path, self.cfg.appearance_wh)
+
+    def _style_from(self, req: Dict) -> np.ndarray:
+        if "style_id" in req:
+            try:
+                return self.styles[req["style_id"]]
+            except KeyError:
+                raise ServeError(
+                    f"unknown style_id {req['style_id']!r}; "
+                    f"known: {sorted(self.styles)}"
+                ) from None
+        if "style_image" in req:
+            return self._load_style(req["style_image"])
+        raise ServeError("request needs style_id or style_image")
+
+    def _rays_from(self, req: Dict) -> tuple:
+        try:
+            w, h = (int(x) for x in req["wh"])
+            c2w = np.asarray(req["c2w"], np.float32)
+        except (KeyError, TypeError, ValueError) as e:
+            raise ServeError(f"bad/missing wh or c2w: {e}") from None
+        if c2w.shape != (3, 4):
+            raise ServeError(f"c2w must be 3x4, got {c2w.shape}")
+        if "K" in req:
+            K = np.asarray(req["K"], np.float32)
+            if K.shape != (3, 3):
+                raise ServeError(f"K must be 3x3, got {K.shape}")
+        else:
+            K = fov_intrinsics((w, h), float(req.get("fov", 60.0)))
+        near = float(req.get("near", 0.0))
+        far = float(req.get("far", 5.0))
+        dirs = get_ray_directions(h, w, K)
+        return make_ray_buffer(dirs, c2w, near, far, 0)[:, :8], (h, w)
+
+    def _render(self, rays, style, hw) -> Dict:
+        p = bucket_size(hw[0] * hw[1])
+        fresh = ("bucket", p) not in self.renderer._cache
+        t0 = time.perf_counter()
+        out = self.renderer.render_frame(rays, style, hw)
+        ms = (time.perf_counter() - t0) * 1e3
+        self.n_renders += 1
+        self.render_ms.append(ms)
+        return {
+            "rgb": out["rgb"], "ms": round(ms, 2), "bucket": p,
+            "compiled": fresh,
+        }
+
+    # --------------------------------------------------------------- ops
+    def op_ping(self, req):
+        import jax
+
+        return {
+            "device": jax.devices()[0].platform,
+            "buckets": sorted(
+                k[1] for k in self.renderer._cache if k[0] == "bucket"
+            ),
+            "styles": sorted(self.styles),
+        }
+
+    def op_encode_style(self, req):
+        if "id" not in req or "image_path" not in req:
+            raise ServeError("encode_style needs id and image_path")
+        self.styles[str(req["id"])] = self._load_style(req["image_path"])
+        return {"styles": sorted(self.styles)}
+
+    def op_render(self, req):
+        if not req.get("inline") and "out_path" not in req:
+            raise ServeError("render needs inline:true and/or out_path")
+        rays, hw = self._rays_from(req)
+        style = self._style_from(req)
+        with self.lock:
+            r = self._render(rays, style, hw)
+        resp = {"ms": r["ms"], "bucket": r["bucket"],
+                "compiled": r["compiled"], "wh": [hw[1], hw[0]]}
+        if req.get("inline"):
+            resp["png_b64"] = base64.b64encode(
+                _png_bytes(r["rgb"])
+            ).decode("ascii")
+        if "out_path" in req:
+            os.makedirs(
+                os.path.dirname(os.path.abspath(req["out_path"])),
+                exist_ok=True,
+            )
+            with open(req["out_path"], "wb") as f:
+                f.write(_png_bytes(r["rgb"]))
+            resp["out_path"] = req["out_path"]
+        return resp
+
+    def op_render_path(self, req):
+        if "out_dir" not in req:
+            raise ServeError("render_path needs out_dir")
+        style = self._style_from(req)
+        w, h = (int(x) for x in req.get("wh", (320, 240)))
+        scene = str(req.get("scene", ""))
+        key = resolve_scene(scene)
+        spec = PATH_PRESETS[key]
+        if "n_frames" in req:
+            spec = type(spec)(**{
+                **{f.name: getattr(spec, f.name)
+                   for f in spec.__dataclass_fields__.values()},
+                "n_frames": int(req["n_frames"]),
+            })
+        anchor = (
+            np.asarray(req["c2w"], np.float32)
+            if "c2w" in req else DEMO_ANCHORS.get(key)
+        )
+        if anchor is None:
+            raise ServeError(f"no demo anchor for {key}; pass c2w")
+        out_dir = req["out_dir"]
+        os.makedirs(out_dir, exist_ok=True)
+        frames, t0 = [], time.perf_counter()
+        for i, rays in enumerate(
+            test_path_rays(
+                spec, anchor, (w, h),
+                near=float(req.get("near", 0.0)),
+                far=float(req.get("far", 5.0)),
+            )
+        ):
+            with self.lock:  # per-frame: single renders can interleave
+                r = self._render(rays, style, (h, w))
+            with open(
+                os.path.join(out_dir, f"{i:03d}.png"), "wb"
+            ) as f:
+                f.write(_png_bytes(r["rgb"]))
+            frames.append(
+                (np.clip(r["rgb"], 0, 1) * 255).astype(np.uint8)
+            )
+        import imageio.v2 as imageio
+
+        gif = os.path.join(out_dir, f"{key}.gif")
+        imageio.mimsave(gif, frames, fps=30)
+        return {
+            "frames": len(frames), "out_dir": out_dir, "gif": gif,
+            "ms_total": round((time.perf_counter() - t0) * 1e3, 1),
+        }
+
+    def op_stats(self, req):
+        ms = sorted(self.render_ms)
+        pct = (
+            lambda q: round(ms[min(len(ms) - 1, int(q * len(ms)))], 2)
+        ) if ms else (lambda q: None)
+        return {
+            "renders": self.n_renders,
+            "p50_ms": pct(0.50), "p95_ms": pct(0.95),
+            "buckets_compiled": sorted(
+                k[1] for k in self.renderer._cache if k[0] == "bucket"
+            ),
+            "styles": sorted(self.styles),
+        }
+
+    def op_shutdown(self, req):
+        self._shutdown.set()
+        return {"shutting_down": True}
+
+    def handle(self, req) -> Dict:
+        if not isinstance(req, dict):
+            return {"ok": False, "error": "request must be a JSON object"}
+        op = req.get("op")
+        fn = {
+            "ping": self.op_ping, "encode_style": self.op_encode_style,
+            "render": self.op_render,
+            "render_path": self.op_render_path,
+            "stats": self.op_stats, "shutdown": self.op_shutdown,
+        }.get(op)
+        if fn is None:
+            return {"ok": False, "error": f"unknown op {op!r}"}
+        try:
+            resp = fn(req)
+        except ServeError as e:
+            return {"ok": False, "error": str(e)}
+        except Exception as e:  # server must survive a bad request
+            return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        resp["ok"] = True
+        return resp
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        svc: RenderService = self.server.service  # type: ignore[attr-defined]
+        for raw in self.rfile:
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                req = json.loads(raw)
+            except json.JSONDecodeError as e:
+                resp = {"ok": False, "error": f"bad json: {e}"}
+            else:
+                resp = svc.handle(req)
+            self.wfile.write(
+                (json.dumps(resp) + "\n").encode("utf-8")
+            )
+            self.wfile.flush()
+            if svc._shutdown.is_set():
+                # shut down from OUTSIDE the handler thread (shutdown()
+                # joins the serve loop and would deadlock called inline)
+                threading.Thread(
+                    target=self.server.shutdown, daemon=True
+                ).start()
+                return
+
+
+class Server(socketserver.ThreadingTCPServer):
+    daemon_threads = True
+    allow_reuse_address = True
+
+    def __init__(self, svc: RenderService, host="127.0.0.1", port=0):
+        super().__init__((host, port), _Handler)
+        self.service = svc
+
+
+def request(host: str, port: int, req: Dict, timeout=600.0) -> Dict:
+    """One-shot client helper (used by tests and scripts/serve_client.py)."""
+    with socket.create_connection((host, port), timeout=timeout) as s:
+        s.sendall((json.dumps(req) + "\n").encode("utf-8"))
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode("utf-8"))
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    from crnerf_tpu.utils.jit_cache import enable as enable_jit_cache
+
+    enable_jit_cache()
+    p = argparse.ArgumentParser(description="crnerf render server")
+    p.add_argument("--ckpt_path", type=str, required=True)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7060)
+    p.add_argument("--N_samples", type=int, default=256)
+    p.add_argument("--N_importance", type=int, default=256)
+    p.add_argument("--chunk", type=int, default=8192)
+    # architecture knobs must match the checkpoint (as in apps/video.py)
+    p.add_argument("--netdepth", type=int, default=8)
+    p.add_argument("--netwidth", type=int, default=256)
+    p.add_argument("--nerf_out_dim", type=int, default=64)
+    p.add_argument("--appearance_wh", nargs=2, type=int,
+                   default=[224, 160])
+    p.add_argument("--warmup", type=str, default="",
+                   help="comma list of WxH sizes to pre-compile, "
+                        "e.g. 320x240,640x480")
+    args = p.parse_args(argv)
+
+    from crnerf_tpu.apps.eval import load_variables
+
+    cfg = Config(
+        N_samples=args.N_samples, N_importance=args.N_importance,
+        chunk=args.chunk, appearance_wh=tuple(args.appearance_wh),
+        netdepth=args.netdepth, netwidth=args.netwidth,
+        nerf_out_dim=args.nerf_out_dim,
+        use_mask=False, encode_random=False,  # serve = demo decode path
+    )
+    svc = RenderService(cfg, load_variables(args.ckpt_path))
+    for size in filter(None, args.warmup.split(",")):
+        w, h = (int(x) for x in size.lower().split("x"))
+        style = np.zeros((1, args.appearance_wh[1],
+                          args.appearance_wh[0], 3), np.float32)
+        rays, hw = svc._rays_from({
+            "wh": [w, h],
+            "c2w": np.eye(3, 4, dtype=np.float32).tolist(),
+        })
+        svc._render(rays, style, hw)
+        print(f"warmup {w}x{h}: bucket {bucket_size(w * h)} compiled")
+
+    server = Server(svc, args.host, args.port)
+    host, port = server.server_address
+    print(f"serving on {host}:{port} (ops: ping, encode_style, render, "
+          "render_path, stats, shutdown)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return port
+
+
+if __name__ == "__main__":
+    main()
