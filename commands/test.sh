@@ -7,8 +7,11 @@ SCENE=${2:?scene name}
 EXP=${3:-exp}
 
 # bfloat16 matmuls match the training recipe (train.sh) and the measured
-# eval numbers in BASELINE.md (0.606 s/frame bucketed at 320x240);
-# drop the flag for fp32 if score-vs-torch bit-level comparison matters
+# eval numbers in BASELINE.md (0.606 s/frame bucketed at 320x240).
+# NOTE: reported PSNR/SSIM are therefore bf16-path numbers; for bitwise
+# comparison against fp32 reference-parity runs override the dtype:
+#   EVAL_DTYPE=float32 ./commands/test.sh ...
+EVAL_DTYPE=${EVAL_DTYPE:-bfloat16}
 python -m crnerf_tpu eval \
   --root_dir "$ROOT_DIR" \
   --dataset_name phototourism \
@@ -16,7 +19,7 @@ python -m crnerf_tpu eval \
   --split test_test \
   --img_downscale 2 \
   --N_samples 256 --N_importance 256 --chunk 16384 \
-  --compute_dtype bfloat16 \
+  --compute_dtype "$EVAL_DTYPE" \
   --ckpt_path ./out/ckpts/"$EXP" \
   --save_dir ./out
 

@@ -68,16 +68,28 @@ def run(cfg: Config) -> str:
         )
         if cfg.split == "val":
             images = images[:1]
+        import time
+
         from crnerf_tpu.data.pipeline import full_image_batch
 
+        frame_s = []
         for i, im in enumerate(images):
             b = full_image_batch(scene, im)
             w, h = im.wh
+            t0 = time.perf_counter()
             out = renderer.render_frame(
                 b["rays"][:, :8], b["whole_img"], (h, w)
             )
+            frame_s.append(time.perf_counter() - t0)
             save_png(os.path.join(out_dir, f"{i:03d}.png"), out["rgb"])
-        print(f"rendered {len(images)} images -> {out_dir}")
+        st = renderer.stats()
+        med = sorted(frame_s)[len(frame_s) // 2] if frame_s else 0.0
+        print(
+            f"rendered {len(images)} images -> {out_dir} | "
+            f"median {med:.3f} s/frame (first frame incl. compile "
+            f"{frame_s[0]:.1f} s) | {st['programs']} compiled programs, "
+            f"buckets={st['buckets']}"
+        )
         return out_dir
 
     if cfg.split == "test":  # parametric camera path
@@ -100,6 +112,10 @@ def run(cfg: Config) -> str:
             if spec.pose_train_idx < len(train_imgs):
                 anchor = train_imgs[spec.pose_train_idx]
         near, far = anchor.near, anchor.far
+        if cfg.num_frames > 0:  # override the preset's 240-frame path
+            import dataclasses
+
+            spec = dataclasses.replace(spec, n_frames=cfg.num_frames)
         frames = []
         w, h = tuple(cfg.img_wh)
         for i, rays in enumerate(
@@ -112,10 +128,12 @@ def run(cfg: Config) -> str:
             frames.append(
                 (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
             )
-        import imageio.v2 as imageio
+        from crnerf_tpu.utils.visualization import write_video
 
-        imageio.mimsave(
-            os.path.join(out_dir, f"{cfg.scene_name}.gif"), frames, fps=30
+        # gif-or-mp4 per --video_format (reference eval.py:301-304)
+        write_video(
+            os.path.join(out_dir, cfg.scene_name), frames,
+            fmt=cfg.video_format,
         )
         print(f"rendered {len(frames)}-frame path -> {out_dir}")
         return out_dir

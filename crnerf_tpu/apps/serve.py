@@ -28,6 +28,14 @@ Every reply carries {"ok": true/false}; render replies add wall-clock
 Requests are served by a thread pool but renders serialize on one lock
 (one chip); the compile caches make concurrent mixed-size clients cheap.
 
+Trust model: requests carry filesystem paths (image_path, out_path,
+out_dir). The default bind is loopback, where the client IS the server
+user. When serving non-loopback (``--host 0.0.0.0``) you MUST pass
+``--root DIR``: every network-supplied path is then resolved with
+``os.path.realpath`` and refused unless it stays under DIR (symlink
+escapes included). Without --root, a non-loopback bind is refused at
+startup.
+
 Run:  python -m crnerf_tpu serve --ckpt_path out/ckpts/exp --port 7060 \
           --warmup 320x240
 """
@@ -80,7 +88,8 @@ class RenderService:
     ``handle(dict) -> dict`` directly.
     """
 
-    def __init__(self, cfg: Config, variables: Dict):
+    def __init__(self, cfg: Config, variables: Dict,
+                 root: Optional[str] = None):
         self.cfg = cfg
         self.renderer = Renderer(cfg, variables)
         self.styles: Dict[str, np.ndarray] = {}
@@ -88,11 +97,31 @@ class RenderService:
         self.n_renders = 0
         self.render_ms: list = []
         self._shutdown = threading.Event()
+        # Sandbox for network-supplied paths (see module docstring).
+        self.root = os.path.realpath(root) if root else None
 
     # ----------------------------------------------------------- helpers
+    def _check_path(self, path: str) -> str:
+        """Resolve a network-supplied path against the --root sandbox.
+
+        With no root configured (loopback trust model) paths pass
+        through. With a root, the realpath (symlinks resolved) must stay
+        under it; for to-be-created files the nearest existing ancestor
+        is what realpath resolves, which is exactly the escape surface.
+        """
+        if self.root is None:
+            return path
+        real = os.path.realpath(path)
+        if real != self.root and not real.startswith(self.root + os.sep):
+            raise ServeError(
+                f"path {path!r} escapes the server --root sandbox"
+            )
+        return real
+
     def _load_style(self, path: str) -> np.ndarray:
         from crnerf_tpu.apps.video import _load_style
 
+        path = self._check_path(path)
         if not os.path.exists(path):
             raise ServeError(f"style image not found: {path}")
         return _load_style(path, self.cfg.appearance_wh)
@@ -174,13 +203,14 @@ class RenderService:
                 _png_bytes(r["rgb"])
             ).decode("ascii")
         if "out_path" in req:
+            out_path = self._check_path(req["out_path"])
             os.makedirs(
-                os.path.dirname(os.path.abspath(req["out_path"])),
+                os.path.dirname(os.path.abspath(out_path)),
                 exist_ok=True,
             )
-            with open(req["out_path"], "wb") as f:
+            with open(out_path, "wb") as f:
                 f.write(_png_bytes(r["rgb"]))
-            resp["out_path"] = req["out_path"]
+            resp["out_path"] = out_path
         return resp
 
     def op_render_path(self, req):
@@ -203,7 +233,7 @@ class RenderService:
         )
         if anchor is None:
             raise ServeError(f"no demo anchor for {key}; pass c2w")
-        out_dir = req["out_dir"]
+        out_dir = self._check_path(req["out_dir"])
         os.makedirs(out_dir, exist_ok=True)
         frames, t0 = [], time.perf_counter()
         for i, rays in enumerate(
@@ -306,16 +336,31 @@ class Server(socketserver.ThreadingTCPServer):
         self.service = svc
 
 
-def request(host: str, port: int, req: Dict, timeout=600.0) -> Dict:
-    """One-shot client helper (used by tests and scripts/serve_client.py)."""
+def request(host: str, port: int, req: Dict, timeout=600.0,
+            max_reply_bytes=256 << 20) -> Dict:
+    """One-shot client helper (used by tests and scripts/serve_client.py).
+
+    Raises ConnectionError if the server closes mid-reply (instead of
+    surfacing a JSONDecodeError on a truncated buffer) and bounds the
+    reply buffer (inline base64 PNGs are multi-MB; anything past
+    ``max_reply_bytes`` indicates a runaway peer, not a render).
+    """
     with socket.create_connection((host, port), timeout=timeout) as s:
         s.sendall((json.dumps(req) + "\n").encode("utf-8"))
         buf = b""
         while not buf.endswith(b"\n"):
             chunk = s.recv(65536)
             if not chunk:
-                break
+                raise ConnectionError(
+                    "server closed connection mid-reply "
+                    f"({len(buf)} bytes buffered, no trailing newline)"
+                )
             buf += chunk
+            if len(buf) > max_reply_bytes:
+                raise ConnectionError(
+                    f"reply exceeds {max_reply_bytes} bytes without a "
+                    "newline; aborting"
+                )
     return json.loads(buf.decode("utf-8"))
 
 
@@ -339,7 +384,15 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--warmup", type=str, default="",
                    help="comma list of WxH sizes to pre-compile, "
                         "e.g. 320x240,640x480")
+    p.add_argument("--root", type=str, default="",
+                   help="sandbox dir: network-supplied paths must "
+                        "resolve under it (REQUIRED for non-loopback "
+                        "binds; see module docstring trust model)")
     args = p.parse_args(argv)
+    if not args.root and args.host not in ("127.0.0.1", "localhost",
+                                           "::1"):
+        p.error("non-loopback --host requires --root (requests carry "
+                "filesystem paths; see trust model in the docstring)")
 
     from crnerf_tpu.apps.eval import load_variables
 
@@ -350,7 +403,8 @@ def main(argv: Optional[Sequence[str]] = None):
         nerf_out_dim=args.nerf_out_dim,
         use_mask=False, encode_random=False,  # serve = demo decode path
     )
-    svc = RenderService(cfg, load_variables(args.ckpt_path))
+    svc = RenderService(cfg, load_variables(args.ckpt_path),
+                        root=args.root or None)
     for size in filter(None, args.warmup.split(",")):
         w, h = (int(x) for x in size.lower().split("x"))
         style = np.zeros((1, args.appearance_wh[1],

@@ -114,14 +114,10 @@ def main(argv: Optional[Sequence[str]] = None):
             frames.append(
                 (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
             )
-        if args.video_format == "gif":
-            imageio.mimsave(
-                os.path.join(out_dir, f"{name}.gif"), frames, fps=30
-            )
-        else:
-            imageio.mimsave(
-                os.path.join(out_dir, f"{name}.mp4"), frames, fps=30
-            )
+        from crnerf_tpu.utils.visualization import write_video
+
+        write_video(os.path.join(out_dir, name), frames,
+                    fmt=args.video_format)
         print(f"{name}: {len(frames)} frames -> {out_dir}")
 
 

@@ -175,15 +175,23 @@ class Config:
             for c in range(lo, min(g, 4 * lo) + 1):
                 if g % c == 0:
                     return c
-            import warnings
+            # No divisor near the <=8-live target: fall back to the
+            # smallest divisor >= lo (HBM-safe; worst case C=G fully
+            # serializes the scan but never keeps >8 grids' stash live
+            # — the opposite failure, C=1, can OOM at G>=16 per the
+            # measured stash HBM math in ops/fused_render.py).
+            for c in range(lo, g + 1):
+                if g % c == 0:
+                    import warnings
 
-            warnings.warn(
-                f"grids_per_step={g} has no divisor in [{lo}, {4 * lo}]; "
-                f"AUTO grad_accum_chunks falls back to 1 (all {g} grids' "
-                "stash live at once — may exceed HBM). Set "
-                "grad_accum_chunks explicitly or pick G with a divisor "
-                "near ceil(G/8).", stacklevel=2,
-            )
+                    warnings.warn(
+                        f"grids_per_step={g} has no divisor in "
+                        f"[{lo}, {4 * lo}]; AUTO grad_accum_chunks uses "
+                        f"{c} (serialized but HBM-safe). Set "
+                        "grad_accum_chunks explicitly or pick G with a "
+                        "divisor near ceil(G/8).", stacklevel=2,
+                    )
+                    return c
         return 1
     s2d_heads: bool = False  # space-to-depth schedule for the appearance
     # encoder's wide 3x3 convs (identical math/params; MXU-utilization
@@ -225,7 +233,9 @@ class Config:
     seed: int = 42
     donate_state: bool = True
     norm: str = "batch"  # CGNet norm: 'batch' (reference fidelity) | 'group'
-    video_format: str = "gif"  # gif | mp4
+    video_format: str = "gif"  # gif | mp4 (reference eval.py:301-304)
+    num_frames: int = 0  # camera-path frame count override for
+    # --split test; 0 = the per-scene preset's count (240)
     profile: bool = False  # capture an XLA/Perfetto trace of train steps
     profile_steps: Tuple[int, int] = (10, 15)  # [start, stop) global steps
 

@@ -134,6 +134,18 @@ class Renderer:
         )
         return jax.tree.map(lambda x: np.asarray(x)[:n_pix], out)
 
+    def stats(self) -> Dict:
+        """Compile-cache census: how many XLA programs this renderer has
+        built, and for which ray buckets / exact sizes. Production
+        telemetry for the bucketing claim (<= 4 compiles per 2x pixel
+        band — BASELINE.md eval rows; results/REHEARSAL.md)."""
+        return {
+            "programs": len(self._cache),
+            "buckets": sorted(k[1] for k in self._cache
+                              if k[0] == "bucket"),
+            "exact": sorted(k[1] for k in self._cache if k[0] == "exact"),
+        }
+
     # ------------------------------------------------------------- entry
     def render_frame(
         self,

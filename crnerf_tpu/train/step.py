@@ -121,7 +121,8 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
         possibly-empty dict) -> the hoisted-heads variant with a vmapped
         heads argument.
 
-        fold_heads (default ON): the appearance encoder runs ONCE on the
+        fold_heads (default OFF — measured -10..-13%, see Config):
+        the appearance encoder runs ONCE on the
         grids' whole images FOLDED into a plain 4-D batch instead of
         vmapped per grid. Identical math (convs/pools are per-sample;
         enc_a has no batch coupling — tests pin grad equality), but the
@@ -131,7 +132,7 @@ def make_train_step(system: CrNerfSystem, tx, lr_sched,
         BASELINE.md 2026-08-19). Computed inside the differentiated loss,
         so no vjp plumbing (unlike hoist_heads); CGNet stays vmapped to
         keep the reference's per-grid batch-1 BN semantics."""
-        if cfg.encode_a and getattr(cfg, "fold_heads", True) and (
+        if cfg.encode_a and getattr(cfg, "fold_heads", False) and (
             heads_g is None or "a" not in heads_g
         ):
             w = batch_g["whole_img"]            # (G, 1, Ha, Wa, 3)

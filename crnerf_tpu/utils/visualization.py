@@ -36,3 +36,34 @@ def visualize_depth(depth, wh=None) -> np.ndarray:
         return m[..., ::-1].astype(np.float32) / 255.0
     except Exception:
         return _jet(x).astype(np.float32)
+
+
+def write_video(path_base: str, frames, fmt: str = "gif",
+                fps: int = 30) -> str:
+    """Write ``frames`` (list of HxWx3 uint8) as gif or mp4.
+
+    Mirrors the reference's gif-or-mp4 choice (eval.py:301-304,
+    appearance_modification_video.py). mp4 needs an ffmpeg/pyav imageio
+    backend; when none is installed (this image has neither) we fall
+    back to gif with a loud warning rather than losing the render.
+    Returns the path actually written.
+    """
+    import imageio.v2 as imageio
+
+    if fmt not in ("gif", "mp4"):
+        raise ValueError(f"video_format must be gif|mp4, got {fmt!r}")
+    path = f"{path_base}.{fmt}"
+    if fmt == "mp4":
+        try:
+            imageio.mimsave(path, frames, fps=fps)
+            return path
+        except (ValueError, ImportError) as e:  # no mp4 backend
+            import warnings
+
+            path = f"{path_base}.gif"
+            warnings.warn(
+                f"mp4 backend unavailable ({e}); wrote {path} instead. "
+                "Install imageio[ffmpeg] for mp4 output.", stacklevel=2,
+            )
+    imageio.mimsave(path, frames, fps=fps)
+    return path

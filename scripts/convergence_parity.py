@@ -189,8 +189,59 @@ def build_torch_modules(cfg, seed=123):
     return mods, embeddings, RefArgs
 
 
+def val_torch(cfg, mods, embeddings, ref_args, scene) -> float:
+    """Held-out full-image PSNR, reference validation semantics
+    (train_mask_grid_sample.py:423-453: eval-mode modules, the image's
+    OWN appearance, deterministic render, PSNR on rgb_fine)."""
+    import torch
+
+    from models.rendering import render_rays_cross_ray
+
+    from crnerf_tpu.data.pipeline import full_image_batch
+
+    im = scene.test_images[0]
+    w, h = im.wh
+    b = full_image_batch(scene, im)
+    for m in mods.values():
+        m.eval()
+    try:
+        with torch.no_grad():
+            rays = torch.from_numpy(b["rays"][:, :8].astype(np.float32))
+            ts = torch.from_numpy(b["ts"].astype(np.int64))
+            whole = torch.from_numpy(
+                b["whole_img"].astype(np.float32)
+            ).permute(0, 3, 1, 2)
+            whole01 = (whole + 1) / 2
+            kwargs = {"args": ref_args, "H": h, "W": w}
+            kwargs["a_embedded_from_img"] = mods["enc_a"](whole01)
+            pred_mask = mods["implicit_mask"](whole01)
+            pred_mask = torch.nn.functional.interpolate(
+                pred_mask, size=(h, w), mode="bilinear",
+                align_corners=False,
+            )
+            kwargs["mask_embedded_from_img"] = (
+                pred_mask.permute(0, 2, 3, 1).reshape(-1, 1)
+            )
+            results = render_rays_cross_ray(
+                {"coarse": mods["nerf_coarse"], "fine": mods["nerf_fine"]},
+                embeddings, rays, ts, cfg.N_samples, False, 0.0, 0.0,
+                cfg.N_importance, cfg.chunk, False, test_time=False,
+                **kwargs,
+            )
+            fmap = results["feature_fine"].t().reshape(1, -1, h, w)
+            img_f = mods["decoder"](fmap, kwargs["a_embedded_from_img"])
+            rgb = img_f.permute(0, 2, 3, 1).reshape(-1, 3)
+            gt = torch.from_numpy(b["rgbs"].astype(np.float32))
+            mse = torch.mean((rgb - gt) ** 2)
+            return float(-10 * torch.log10(mse))
+    finally:
+        for m in mods.values():
+            m.train()
+
+
 def run_torch(cfg, mods, embeddings, ref_args, batches,
-              steps_per_epoch: int, sel_idx=None) -> List[Dict]:
+              steps_per_epoch: int, sel_idx=None,
+              val_fn=None, val_out=None) -> List[Dict]:
     """The reference training loop, transcribed from
     train_mask_grid_sample.py:268-337 + forward:151-226 + decode:127-149,
     utils get_optimizer/get_scheduler (Adam eps=1e-8, per-epoch cosine
@@ -309,13 +360,49 @@ def run_torch(cfg, mods, embeddings, ref_args, batches,
         records.append(rec)
         if (step + 1) % steps_per_epoch == 0:
             sched.step()
+            if val_fn is not None:
+                val_out.append(val_fn())
     return records
 
 
 # --------------------------------------------------------------- jax side
+def make_val_jax(cfg, system, scene):
+    """Held-out full-image PSNR on the crnerf_tpu side (eval-mode
+    forward, own appearance — mirrors val_torch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crnerf_tpu.data.pipeline import full_image_batch
+
+    im = scene.test_images[0]
+    w, h = im.wh
+    b = full_image_batch(scene, im)
+    batch = {
+        "rays": jnp.asarray(b["rays"][:, :8]),
+        "whole_img": jnp.asarray(b["whole_img"]),
+    }
+    gt = jnp.asarray(b["rgbs"])
+
+    @jax.jit
+    def render(variables):
+        results, _ = system.forward(
+            variables, batch, jax.random.PRNGKey(0), train=False,
+            image_hw=(h, w),
+        )
+        mse = jnp.mean((results["rgb_fine"] - gt) ** 2)
+        return -10 * jnp.log10(mse)
+
+    def fn(state):
+        return float(render(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        ))
+
+    return fn
+
+
 def run_jax(cfg, variables, batches, steps_per_epoch: int,
             step_times: Optional[list] = None,
-            sel_idx=None) -> List[Dict]:
+            sel_idx=None, val_scene=None, val_out=None) -> List[Dict]:
     """step_times (optional list): appended with the wall seconds of each
     step INCLUDING its device_get — pass it to time warm steps within one
     jit instance (a fresh run_jax call rebuilds the jit and recompiles,
@@ -360,6 +447,10 @@ def run_jax(cfg, variables, batches, steps_per_epoch: int,
         # resolves _select_random_embedding by module-global lookup at
         # TRACE time (first call), not at closure-build time
         step_fn = jax.jit(make_train_step(system, tx, sched))
+        val_fn = (
+            make_val_jax(cfg, system, val_scene)
+            if val_scene is not None else None
+        )
         records = []
         for step, b in enumerate(batches):
             db = {
@@ -373,6 +464,8 @@ def run_jax(cfg, variables, batches, steps_per_epoch: int,
                 step_times.append(time.perf_counter() - t0)
             records.append({k: float(v) for k, v in m.items()}
                            | {"step": step})
+            if val_fn is not None and (step + 1) % steps_per_epoch == 0:
+                val_out.append(val_fn(state))
     finally:
         step_mod._select_random_embedding = orig_select
     return records
@@ -406,6 +499,12 @@ def main(argv=None):
     ap.add_argument("--encode_random", action="store_true",
                     help="drive the random-appearance branch + embedding-"
                          "cache feedback with a shared pick sequence")
+    ap.add_argument("--val", action="store_true",
+                    help="held-out full-image PSNR at every epoch "
+                         "boundary, both trainers (the reference "
+                         "validation_step analog)")
+    ap.add_argument("--out", default=None,
+                    help="write the full trajectories + stats as JSON")
     args = ap.parse_args(argv)
 
     import jax
@@ -443,11 +542,20 @@ def main(argv=None):
 
     print(f"running torch reference trainer ({len(batches)} steps"
           f"{', encode_random' if args.encode_random else ''})...")
+    val_ref: list = []
+    val_fn = (
+        (lambda: val_torch(cfg, mods, embeddings, ref_args, scene))
+        if args.val else None
+    )
     ref = run_torch(cfg, mods, embeddings, ref_args, batches,
-                    args.steps_per_epoch, sel_idx=sel_idx)
+                    args.steps_per_epoch, sel_idx=sel_idx,
+                    val_fn=val_fn, val_out=val_ref)
     print("running crnerf_tpu trainer...")
+    val_ours: list = []
     ours = run_jax(cfg, variables, batches, args.steps_per_epoch,
-                   sel_idx=sel_idx)
+                   sel_idx=sel_idx,
+                   val_scene=scene if args.val else None,
+                   val_out=val_ours)
 
     stats = compare(ref, ours)
     print(f"\n{'metric':<22}{'ref final':>12}{'ours final':>12}"
@@ -457,6 +565,21 @@ def main(argv=None):
               f"{s['max_rel']:>10.4f}{s['mean_rel']:>10.4f}")
     dpsnr = abs(stats["psnr"]["ref_final"] - stats["psnr"]["ours_final"])
     print(f"\nfinal PSNR delta: {dpsnr:.3f} dB over {len(batches)} steps")
+    if args.val:
+        print(f"\n{'epoch':<8}{'ref val psnr':>14}{'ours val psnr':>14}"
+              f"{'delta dB':>10}")
+        for e, (a, b) in enumerate(zip(val_ref, val_ours)):
+            print(f"{e + 1:<8}{a:>14.3f}{b:>14.3f}{abs(a - b):>10.3f}")
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump({
+                "argv": vars(args), "stats": stats,
+                "ref": ref, "ours": ours,
+                "val_ref": val_ref, "val_ours": val_ours,
+            }, f, indent=1)
+        print(f"wrote {args.out}")
     return ref, ours, stats
 
 

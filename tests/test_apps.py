@@ -261,8 +261,10 @@ class TestDispatcher:
     def test_command_table(self):
         from crnerf_tpu.__main__ import COMMANDS
 
+        # Reference's five entry points (SURVEY.md §2.6) plus `serve`,
+        # the resident render server this framework adds beyond parity.
         assert set(COMMANDS) == {
-            "prepare", "train", "eval", "metrics", "video"
+            "prepare", "train", "eval", "metrics", "video", "serve"
         }
         import importlib
 
@@ -554,6 +556,20 @@ class TestPhototourismPipeline:
                          "--scene_name", "scene", "--save_dir", out,
                          "--img_downscale", "2"])
         assert np.isfinite(m["psnr"]) and np.isfinite(m["ssim"])
+
+        # camera-path split with --video_format mp4 (reference
+        # eval.py:301-304); this image has no mp4 backend, so the
+        # documented fallback must write a gif and warn loudly
+        with pytest.warns(UserWarning, match="mp4 backend unavailable"):
+            eval_main(common + [
+                "--split", "test", "--ckpt_path", f"{out}/ckpts/pt",
+                "--scene_name", "scene_brandenburg_gate",
+                "--video_format", "mp4", "--num_frames", "2",
+                "--img_wh", "32", "24",
+            ])
+        path_dir = f"{out}/results/phototourism/scene_brandenburg_gate"
+        assert len(glob.glob(f"{path_dir}/0*.png")) == 2
+        assert os.path.exists(f"{path_dir}/scene_brandenburg_gate.gif")
 
         # a half-finished render dir must fail loudly, not score a
         # healthy-looking mean over the frames that do exist

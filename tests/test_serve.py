@@ -149,6 +149,112 @@ class TestTCP:
             server.server_close()
 
 
+    def test_concurrent_clients(self, service, style_png):
+        """Two sockets in flight: the ThreadingTCPServer handles each on
+        its own thread, renders serialize on the service lock, and every
+        client gets a well-formed reply (no interleaved writes)."""
+        server = Server(service, "127.0.0.1", 0)
+        host, port = server.server_address
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            assert request(host, port, {
+                "op": "encode_style", "id": "cc", "image_path": style_png
+            })["ok"]
+            n_before = service.n_renders
+            results = [None] * 4
+            errors = []
+
+            def client(i):
+                try:
+                    results[i] = request(
+                        host, port,
+                        _render_req(20 + i, 16, style_id="cc",
+                                    inline=True),
+                    )
+                except Exception as e:  # surfaces in the main thread
+                    errors.append(e)
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(4)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=120)
+            assert not errors, errors
+            assert all(r and r["ok"] for r in results), results
+            assert service.n_renders == n_before + 4
+            for r in results:
+                img = base64.b64decode(r["png_b64"])
+                assert len(img) > 0
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
+class TestSandbox:
+    def test_root_blocks_escapes_and_allows_inside(self, service,
+                                                   tmp_path, style_png):
+        """--root trust model: network paths must realpath under root;
+        symlink escapes refused; in-root writes still work."""
+        import shutil
+
+        cfg = Config(**CFG)
+        root = tmp_path / "jail"
+        root.mkdir()
+        shutil.copy(style_png, root / "style.png")
+        svc = RenderService(cfg, service.renderer.variables,
+                            root=str(root))
+        # escape via absolute path
+        r = svc.handle({"op": "encode_style", "id": "x",
+                        "image_path": "/etc/hostname"})
+        assert not r["ok"] and "escapes" in r["error"]
+        # escape via symlink inside the root
+        link = root / "sneaky.png"
+        os.symlink("/etc/hostname", link)
+        r = svc.handle({"op": "encode_style", "id": "x",
+                        "image_path": str(link)})
+        assert not r["ok"] and "escapes" in r["error"]
+        # escape on the WRITE side
+        r = svc.handle(_render_req(8, 8, style_image=str(root / "style.png"),
+                                   out_path=str(tmp_path / "out.png")))
+        assert not r["ok"] and "escapes" in r["error"]
+        # fully inside the sandbox: works
+        r = svc.handle(_render_req(8, 8, style_image=str(root / "style.png"),
+                                   out_path=str(root / "ok.png")))
+        assert r["ok"] and os.path.exists(root / "ok.png")
+
+    def test_nonloopback_bind_requires_root(self):
+        from crnerf_tpu.apps.serve import main as serve_main
+
+        with pytest.raises(SystemExit):
+            serve_main(["--ckpt_path", "/nonexistent",
+                        "--host", "0.0.0.0"])
+
+
+def test_client_raises_on_mid_reply_close():
+    """request() must surface a ConnectionError (not a JSONDecodeError on
+    a truncated buffer) when the peer closes without a newline."""
+    import socket as socket_mod
+
+    srv = socket_mod.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    host, port = srv.getsockname()
+
+    def half_reply():
+        conn, _ = srv.accept()
+        conn.recv(65536)
+        conn.sendall(b'{"ok": tr')  # partial, then close
+        conn.close()
+
+    t = threading.Thread(target=half_reply, daemon=True)
+    t.start()
+    with pytest.raises(ConnectionError, match="mid-reply"):
+        request(host, port, {"op": "ping"}, timeout=30)
+    srv.close()
+
+
 def test_serve_registered_in_cli():
     from crnerf_tpu.__main__ import COMMANDS
 
