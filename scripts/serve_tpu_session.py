@@ -128,7 +128,8 @@ def main():
         # bucket A: 320x240 — first render compiles, three more reuse
         r, wall = req(_rr(320, 240))
         record("render 320x240 (cold: compile)", r, wall)
-        for i, (w, h) in enumerate([(320, 240), (300, 225), (336, 252)]):
+        # all inside the 81,920-ray bucket (1.25 * 2^16; px <= 81,920)
+        for i, (w, h) in enumerate([(320, 240), (300, 225), (326, 244)]):
             r, wall = req(_rr(w, h))
             record(f"render {w}x{h} (same bucket, warm)", r, wall)
             assert not r["compiled"], "unexpected recompile in-bucket"

@@ -34,10 +34,15 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--local_devices", type=int, default=2)
     p.add_argument("--preempt_at", type=int, default=0,
-                   help="after N steps, process 0 SIGTERMs itself — the "
-                        "cluster-style preemption notice; jax's sync "
-                        "manager propagates it and BOTH processes must "
-                        "stop at the same agreed step")
+                   help="after N steps, the --preempt_rank process "
+                        "SIGTERMs itself — the cluster-style preemption "
+                        "notice; jax's sync manager propagates it and ALL "
+                        "processes must stop at the same agreed step")
+    p.add_argument("--preempt_rank", type=int, default=0,
+                   help="which process receives the SIGTERM")
+    p.add_argument("--grids_per_step", type=int, default=1,
+                   help="G grids per DEVICE (reference --num_gpus "
+                        "semantics folded per device, train/step.py)")
     a = p.parse_args()
 
     # Platform pinning must precede the first backend init (see
@@ -51,6 +56,11 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # full-step CPU compiles are 1-4 min each; the persistent cache makes
+    # the 4 workers (and repeat suite runs) share them
+    from crnerf_tpu.utils.jit_cache import enable as enable_jit_cache
+
+    enable_jit_cache()
     jax.distributed.initialize(
         coordinator_address=a.coordinator,
         num_processes=a.num_processes,
@@ -71,6 +81,7 @@ def main():
         batch_size=16, N_samples=4, N_importance=4, netdepth=2,
         netwidth=16, nerf_out_dim=8, N_vocab=10, appearance_wh=(32, 24),
         chunk=256, num_epochs=50 if a.preempt_at else 1, lr=5e-4,
+        grids_per_step=a.grids_per_step,
         save_dir=a.save_dir,
         exp_name="mp", log_every=1, dataset_name="synthetic",
         num_devices=0,  # all 4 global devices -> mesh crosses processes
@@ -93,7 +104,7 @@ def main():
         def step_then_notice(state, batch):
             out = orig_step(state, batch)
             seen["n"] += 1
-            if a.process_id == 0 and seen["n"] == a.preempt_at:
+            if a.process_id == a.preempt_rank and seen["n"] == a.preempt_at:
                 os.kill(os.getpid(), signal.SIGTERM)
             return out
 

@@ -11,6 +11,25 @@ from crnerf_tpu.config import Config, get_config
 
 
 class TestConfig:
+    def test_resolved_chunks_auto(self):
+        """AUTO grad-accum chunking: <=8 grids' stash live per chunk;
+        a G with no divisor near ceil(G/8) must fall back to an
+        HBM-SAFE divisor (serialized), never to 1 (all stash live)."""
+        base = dict(pallas_stash=True, grad_accum_chunks=0)
+        assert Config(grids_per_step=16, **base).resolved_chunks() == 2
+        assert Config(grids_per_step=24, **base).resolved_chunks() == 3
+        assert Config(grids_per_step=4, **base).resolved_chunks() == 1
+        # prime G: only divisors are 1 and G -> warn + pick G (safe),
+        # NOT 1 (17 grids' stash live would exceed HBM at full width)
+        with pytest.warns(UserWarning, match="no divisor"):
+            assert Config(grids_per_step=17, **base).resolved_chunks() == 17
+        with pytest.warns(UserWarning, match="no divisor"):
+            assert Config(grids_per_step=13, **base).resolved_chunks() == 13
+        # explicit always wins
+        assert Config(
+            grids_per_step=16, pallas_stash=True, grad_accum_chunks=5
+        ).resolved_chunks() == 5
+
     def test_defaults_match_reference(self):
         cfg = Config()
         # reference opt.py defaults (SURVEY.md §2.1)

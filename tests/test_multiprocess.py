@@ -29,7 +29,7 @@ def _free_port() -> int:
     return port
 
 
-def _run_workers(tmp_path, extra_args=()):
+def _run_workers(tmp_path, extra_args=(), num_processes=2):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -44,7 +44,7 @@ def _run_workers(tmp_path, extra_args=()):
     )
     save_dir = tmp_path / "run"  # shared dir, as on a real multi-host fs
     procs, out_paths = [], []
-    for pid in range(2):
+    for pid in range(num_processes):
         out = tmp_path / f"result_{pid}.json"
         out_paths.append(out)
         procs.append(
@@ -53,7 +53,7 @@ def _run_workers(tmp_path, extra_args=()):
                     sys.executable, WORKER,
                     "--coordinator", f"127.0.0.1:{port}",
                     "--process_id", str(pid),
-                    "--num_processes", "2",
+                    "--num_processes", str(num_processes),
                     "--save_dir", str(save_dir),
                     "--out", str(out),
                     *extra_args,
@@ -68,7 +68,9 @@ def _run_workers(tmp_path, extra_args=()):
     logs = []
     try:
         for p in procs:
-            log, _ = p.communicate(timeout=600)
+            # 4 workers x (train step + val render + restore) compiles:
+            # 1-4 min each on a cold cache under CI load
+            log, _ = p.communicate(timeout=1200)
             logs.append(log)
     finally:
         for p in procs:
@@ -77,8 +79,10 @@ def _run_workers(tmp_path, extra_args=()):
     assert all(p.returncode == 0 for p in procs), (
         "worker failed:\n" + "\n=== next worker ===\n".join(logs)
     )
-    r0, r1 = (json.loads(o.read_text()) for o in out_paths)
-    return r0, r1, save_dir
+    results = [json.loads(o.read_text()) for o in out_paths]
+    if num_processes == 2:
+        return results[0], results[1], save_dir
+    return results, save_dir
 
 
 @pytest.mark.slow
@@ -116,4 +120,49 @@ def test_two_process_preemption_sync(tmp_path):
     assert r0["params_sha"] == r1["params_sha"]
     # the preemption checkpoint restores on both processes
     assert r0["restored_step"] == r1["restored_step"] == r0["step"]
+    assert (save_dir / "ckpts" / "mp" / "weights.npz").exists()
+
+
+@pytest.mark.slow
+def test_four_process_trainer_g2(tmp_path):
+    """4 jax.distributed processes x 2 local devices x G=2 grids/device:
+    the flagship multi-chip layout (D=8 global devices folding 16 grids
+    per step) with the mesh crossing THREE process boundaries. Replica
+    identity, collective checkpoint round-trip, and cross-process
+    embedding-cache all_gathers must all hold at G>1."""
+    results, save_dir = _run_workers(
+        tmp_path, ("--grids_per_step", "2"), num_processes=4
+    )
+    shas = {r["params_sha"] for r in results}
+    assert len(shas) == 1, "replicated state diverged across processes"
+    steps = {r["step"] for r in results}
+    assert steps == {results[0]["step"]} and results[0]["step"] > 0
+    for r in results:
+        assert r["restored_step"] == r["step"]
+        assert r["cache_writes"] == results[0]["cache_writes"] > 0
+        assert r["val_psnr"] == pytest.approx(
+            results[0]["val_psnr"], abs=1e-3
+        )
+    assert (save_dir / "ckpts" / "mp" / "weights.npz").exists()
+
+
+@pytest.mark.slow
+def test_four_process_preemption_rank1_exact_resume(tmp_path):
+    """Preemption SIGTERM lands on rank 1 (NOT the coordinator/primary)
+    of a 4-process G=2 run: the sync manager must still propagate the
+    notice, all four processes agree on one stop step, checkpoint
+    collectively, and a fresh Trainer restores that exact step on every
+    process (exact mid-epoch resume under multi-process preemption)."""
+    results, save_dir = _run_workers(
+        tmp_path,
+        ("--preempt_at", "5", "--preempt_rank", "1",
+         "--grids_per_step", "2"),
+        num_processes=4,
+    )
+    assert all(r["stopped"] for r in results)
+    steps = {r["step"] for r in results}
+    assert len(steps) == 1 and results[0]["step"] >= 5
+    assert len({r["params_sha"] for r in results}) == 1
+    for r in results:
+        assert r["restored_step"] == r["step"]
     assert (save_dir / "ckpts" / "mp" / "weights.npz").exists()
