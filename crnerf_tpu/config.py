@@ -232,6 +232,16 @@ class Config:
     ckpt_every_epochs: int = 1
     seed: int = 42
     donate_state: bool = True
+    steps_per_dispatch: int = 0  # > 1: the Trainer feeds the device in
+    # SLABS of this many steps via one jitted lax.scan per slab instead of
+    # one dispatch per step. Identical math and batch stream (the sampler
+    # is a pure f(epoch, step)); host-side dispatch/fetch overhead is paid
+    # once per slab, which is what makes full-rate training possible over
+    # high-latency links (the axon tunnel pays ~1-2 s per dispatch —
+    # bench.py methodology). Whole appearance images are not staged
+    # per-step: the scan body gathers them on device from the resident
+    # appearance stack. 0/1 = per-step feeding (panels/profile hooks are
+    # per-step-path features and are skipped in slab mode).
     norm: str = "batch"  # CGNet norm: 'batch' (reference fidelity) | 'group'
     video_format: str = "gif"  # gif | mp4 (reference eval.py:301-304)
     num_frames: int = 0  # camera-path frame count override for

@@ -68,6 +68,47 @@ def shard_train_step(
     return jax.jit(mapped, donate_argnums=(0,) if donate_state else ())
 
 
+def shard_train_scan(
+    per_step: Callable, mesh: Mesh, donate_state: bool = True
+) -> Callable:
+    """SPMD slab dispatch: scan ``per_step`` over a leading slab axis in ONE
+    jitted program (Config.steps_per_dispatch — amortizes per-dispatch
+    host/link latency that a step-at-a-time loop pays every step).
+
+    ``per_step(state, local_batch, aux) -> (state, metrics)`` is the
+    per-device step (built with axis_name=DATA_AXIS); ``aux`` is any
+    replicated constant the body needs (e.g. the appearance stack the body
+    gathers whole images from). Returns ``fn(state, xs, aux)`` where xs
+    leaves are (slab, D, ...) host arrays sharded by ``put_global_slab``;
+    metrics come back stacked (slab, ...).
+    """
+
+    def per_device(state, xs, aux):
+        local = jax.tree.map(lambda x: x[:, 0], xs)  # drop device axis
+
+        def body(st, b):
+            return per_step(st, b, aux)
+
+        return jax.lax.scan(body, state, local)
+
+    mapped = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(None, DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate_state else ())
+
+
+def put_global_slab(xs, mesh: Mesh):
+    """Host (slab, D, ...) slab -> device arrays sharded over 'data' on the
+    SECOND axis (the first is the scan axis). Multi-process semantics match
+    put_global_batch: every process passes the same full slab."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), xs)
+
+
 def put_global_batch(batch, mesh: Mesh):
     """Host (D, ...) numpy batch -> device arrays sharded over 'data'.
 

@@ -99,6 +99,44 @@ class Trainer:
                 step_local, donate_argnums=(0,) if cfg.donate_state else ()
             )
 
+        if cfg.steps_per_dispatch > 1:
+            # slab dispatch (Config.steps_per_dispatch): one jitted
+            # lax.scan over a staged slab of batches per device round-trip.
+            # Whole appearance images are NOT staged per step — the scan
+            # body gathers them from the resident appearance stack (one
+            # (N, Ha, Wa, 3) array instead of slab x G copies of it).
+            def per_step(st, b, app_stack):
+                b = dict(b)
+                idx = b.pop("image_idx")
+                b["whole_img"] = jnp.expand_dims(
+                    jnp.take(app_stack, idx, axis=0), -4
+                )
+                return step_local(st, b)
+
+            if self.n_devices > 1:
+                from crnerf_tpu.parallel.mesh import shard_train_scan
+
+                self.scan_fn = shard_train_scan(
+                    per_step, self.mesh, donate_state=cfg.donate_state
+                )
+            else:
+                def scan_local(state, xs, aux):
+                    def body(st, b):
+                        return per_step(st, b, aux)
+
+                    return jax.lax.scan(body, state, xs)
+
+                self.scan_fn = jax.jit(
+                    scan_local,
+                    donate_argnums=(0,) if cfg.donate_state else (),
+                )
+            self._app_stack = jax.device_put(
+                jnp.asarray(scene.appearance_stack),
+                jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()
+                ),
+            )
+
         self.logger = logger
         ckpt_dir = os.path.join(cfg.save_dir, "ckpts", cfg.exp_name)
         self.ckpt = CheckpointManager(ckpt_dir)
@@ -253,51 +291,14 @@ class Trainer:
                 return self.state
             t_ep = time.time()
             n_rays_done = 0
-            for batch in self.pipeline.epoch_batches(
-                epoch, self.n_devices, n_steps=self.iters_per_epoch,
-                grids_per_device=self.grids,
-                start_step=global_step - epoch * self.iters_per_epoch,
-            ):
-                if self.n_devices > 1:
-                    batch = put_global_batch(batch, self.mesh)
-                else:
-                    batch = jax.tree.map(jnp.asarray, batch)
-                if (
-                    cfg.profile
-                    and global_step == cfg.profile_steps[0]
-                    and jax.process_index() == 0
-                ):
-                    # XLA/Perfetto trace (SURVEY.md §5.1: the reference only
-                    # has Lightning's 'simple' profiler)
-                    jax.profiler.start_trace(
-                        os.path.join(cfg.save_dir, "traces", cfg.exp_name)
-                    )
-                self.state, metrics = self.step_fn(self.state, batch)
-                global_step += 1
-                self._progress_steps += 1
-                if (
-                    self.logger
-                    and cfg.img_panel_every > 0
-                    and global_step % cfg.img_panel_every == 0
-                    and jax.process_index() == 0
-                ):
-                    self._log_train_panels(batch, global_step)
-                if (
-                    cfg.profile
-                    and global_step == cfg.profile_steps[1]
-                    and jax.process_index() == 0
-                ):
-                    jax.block_until_ready(metrics)
-                    jax.profiler.stop_trace()
-                n_rays_done += (
-                    cfg.batch_size * self.n_devices * self.grids
+            if cfg.steps_per_dispatch > 1:
+                global_step, n_rays_done = self._epoch_slabbed(
+                    epoch, global_step
                 )
-                if self.logger and global_step % cfg.log_every == 0:
-                    m = {f"train/{k}" if "/" not in k else k: v
-                         for k, v in jax.device_get(metrics).items()}
-                    self.logger.log(m, global_step)
-                if self._should_stop(global_step):
-                    break
+            else:
+                global_step, n_rays_done = self._epoch_per_step(
+                    epoch, global_step
+                )
             if self._stop_requested:
                 self._save_checkpoint(global_step)
                 return self.state
@@ -326,6 +327,144 @@ class Trainer:
         # deadline-unsafe work in the caller (apps/train consults both)
         self._completed = True
         return self.state
+
+    # ------------------------------------------------- epoch inner loops
+    def _epoch_per_step(self, epoch: int, global_step: int):
+        """One dispatch per step (prefetched host batches); returns the
+        advanced (global_step, n_rays_done). Hosts the per-step-only hooks
+        (Perfetto trace window, train image panels)."""
+        cfg = self.cfg
+        n_rays_done = 0
+        for batch in self.pipeline.epoch_batches(
+            epoch, self.n_devices, n_steps=self.iters_per_epoch,
+            grids_per_device=self.grids,
+            start_step=global_step - epoch * self.iters_per_epoch,
+        ):
+            if self.n_devices > 1:
+                batch = put_global_batch(batch, self.mesh)
+            else:
+                batch = jax.tree.map(jnp.asarray, batch)
+            if (
+                cfg.profile
+                and global_step == cfg.profile_steps[0]
+                and jax.process_index() == 0
+            ):
+                # XLA/Perfetto trace (SURVEY.md §5.1: the reference only
+                # has Lightning's 'simple' profiler)
+                jax.profiler.start_trace(
+                    os.path.join(cfg.save_dir, "traces", cfg.exp_name)
+                )
+            self.state, metrics = self.step_fn(self.state, batch)
+            global_step += 1
+            self._progress_steps += 1
+            if (
+                self.logger
+                and cfg.img_panel_every > 0
+                and global_step % cfg.img_panel_every == 0
+                and jax.process_index() == 0
+            ):
+                self._log_train_panels(batch, global_step)
+            if (
+                cfg.profile
+                and global_step == cfg.profile_steps[1]
+                and jax.process_index() == 0
+            ):
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+            n_rays_done += (
+                cfg.batch_size * self.n_devices * self.grids
+            )
+            if self.logger and global_step % cfg.log_every == 0:
+                m = {f"train/{k}" if "/" not in k else k: v
+                     for k, v in jax.device_get(metrics).items()}
+                self.logger.log(m, global_step)
+            if self._should_stop(global_step):
+                break
+        return global_step, n_rays_done
+
+    def _stage_slab(self, epoch: int, start: int, n: int):
+        """Assemble steps [start, start+n) of the epoch as one host slab
+        (leading scan axis), minus whole_img — the scan body gathers
+        appearance images on device from the resident stack."""
+        total = self.n_devices * self.grids
+        host = []
+        for i in range(start, start + n):
+            if total > 1:
+                b = self.pipeline.make_global_batch(epoch, i, total)
+                if self.n_devices > 1 and self.grids > 1:
+                    b = {
+                        k: v.reshape(
+                            self.n_devices, self.grids, *v.shape[1:]
+                        )
+                        for k, v in b.items()
+                    }
+            else:
+                b = self.pipeline.make_batch(epoch, i)
+            b.pop("whole_img")
+            host.append(b)
+        xs = {k: np.stack([h[k] for h in host]) for k in host[0]}
+        if self.n_devices > 1:
+            from crnerf_tpu.parallel.mesh import put_global_slab
+
+            return put_global_slab(xs, self.mesh)
+        return jax.tree.map(jnp.asarray, xs)
+
+    def _epoch_slabbed(self, epoch: int, global_step: int):
+        """Slab dispatch (Config.steps_per_dispatch): identical batch
+        stream and step math as _epoch_per_step, but the device executes
+        steps_per_dispatch steps per host round-trip inside one jitted
+        lax.scan — the pattern bench.py/scripts/quality_run.py proved out
+        against the high-latency tunnel, promoted into the product. At
+        most two program shapes compile per run (full slab + remainder).
+        Preemption is polled at slab boundaries, so a stop loses at most
+        one slab of work to the resume replay (still exact: batches are a
+        pure f(epoch, step))."""
+        cfg = self.cfg
+        slab = cfg.steps_per_dispatch
+        step_in_ep = global_step - epoch * self.iters_per_epoch
+        n_rays_done = 0
+        inflight: list = []  # metrics handles of dispatched slabs
+        while step_in_ep < self.iters_per_epoch:
+            n = min(slab, self.iters_per_epoch - step_in_ep)
+            xs = self._stage_slab(epoch, step_in_ep, n)
+            # Backpressure: dispatch is async (over the axon tunnel even
+            # block_until_ready returns early), so without a bound here
+            # the host races ahead and every staged slab's input buffers
+            # pile up live on device — a whole staged epoch (~0.8 GB on
+            # top of the step working set) crashed the TPU worker when
+            # first tried. Waiting on the metrics of the slab TWO back
+            # keeps at most two slabs in flight (+ this staged one)
+            # while still overlapping host batch-assembly with device
+            # compute and hiding one dispatch round-trip.
+            if len(inflight) >= 2:
+                jax.device_get(jax.tree.leaves(inflight.pop(0))[0])
+            self.state, metrics = self.scan_fn(
+                self.state, xs, self._app_stack
+            )
+            inflight.append(metrics)
+            first = global_step + 1  # step ids first .. first+n-1
+            global_step += n
+            step_in_ep += n
+            self._progress_steps += n
+            n_rays_done += (
+                n * cfg.batch_size * self.n_devices * self.grids
+            )
+            if self.logger and cfg.log_every > 0:
+                hits = [
+                    i for i in range(n)
+                    if (first + i) % cfg.log_every == 0
+                ]
+                if hits:
+                    mh = jax.device_get(metrics)
+                    for i in hits:
+                        m = {
+                            f"train/{k}" if "/" not in k else k: v[i]
+                            for k, v in mh.items()
+                        }
+                        self.logger.log(m, first + i)
+            if self._should_stop(global_step):
+                break
+        return global_step, n_rays_done
 
     # ------------------------------------------------------- train panels
     def _log_train_panels(self, batch, global_step: int):
