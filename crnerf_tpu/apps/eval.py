@@ -43,12 +43,13 @@ def load_variables(ckpt_path: str):
     )
 
 
-def save_png(path: str, rgb01: np.ndarray):
+def save_png(path: str, rgb: np.ndarray):
+    """uint8 passes through (device-quantized frames); float is [0,1]."""
     import imageio.v2 as imageio
 
-    imageio.imwrite(
-        path, (np.clip(rgb01, 0, 1) * 255).astype(np.uint8)
-    )
+    if rgb.dtype != np.uint8:
+        rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+    imageio.imwrite(path, rgb)
 
 
 def run(cfg: Config) -> str:
@@ -72,21 +73,47 @@ def run(cfg: Config) -> str:
 
         from crnerf_tpu.data.pipeline import full_image_batch
 
+        # Pipelined rendering (Config.eval_pipeline): keep up to N frame
+        # dispatches in flight so the host fetch/PNG-write of frame i
+        # overlaps device compute of frame i+1; frames come back as
+        # device-quantized uint8 (render/inference.py _select) since the
+        # PNG writer is the only consumer. Identical pixels to the
+        # synchronous float path (tests/test_bucketed_eval.py).
+        depth = max(1, cfg.eval_pipeline)
+        pending: list = []  # (index, handle) in dispatch order
         frame_s = []
+        t_all = time.perf_counter()
+
+        def _drain_one():
+            i, hnd = pending.pop(0)
+            out = renderer.fetch(hnd)
+            save_png(
+                os.path.join(out_dir, f"{i:03d}.png"), out["rgb_u8"]
+            )
+
         for i, im in enumerate(images):
             b = full_image_batch(scene, im)
             w, h = im.wh
             t0 = time.perf_counter()
-            out = renderer.render_frame(
-                b["rays"][:, :8], b["whole_img"], (h, w)
-            )
-            frame_s.append(time.perf_counter() - t0)
-            save_png(os.path.join(out_dir, f"{i:03d}.png"), out["rgb"])
+            pending.append((
+                i,
+                renderer.render_frame_async(
+                    b["rays"][:, :8], b["whole_img"], (h, w),
+                    outputs="rgb_u8",
+                ),
+            ))
+            frame_s.append(time.perf_counter() - t0)  # dispatch (+compile)
+            while len(pending) >= depth:
+                _drain_one()
+        while pending:
+            _drain_one()
+        wall = time.perf_counter() - t_all
         st = renderer.stats()
-        med = sorted(frame_s)[len(frame_s) // 2] if frame_s else 0.0
+        eff = wall / max(1, len(images))
         print(
             f"rendered {len(images)} images -> {out_dir} | "
-            f"median {med:.3f} s/frame (first frame incl. compile "
+            f"median {eff:.3f} s/frame (wall {wall:.1f} s pipelined "
+            f"x{depth}, first dispatch incl. compile "
             f"{frame_s[0]:.1f} s) | {st['programs']} compiled programs, "
             f"buckets={st['buckets']}"
         )
@@ -116,18 +143,33 @@ def run(cfg: Config) -> str:
             import dataclasses
 
             spec = dataclasses.replace(spec, n_frames=cfg.num_frames)
-        frames = []
         w, h = tuple(cfg.img_wh)
+        # same pipelined u8 pattern as the test_test loop above (every
+        # consumer here — PNG + GIF/mp4 — wants uint8)
+        depth = max(1, cfg.eval_pipeline)
+        pending, frames = [], {}
+
+        def _drain_path():
+            i, hnd = pending.pop(0)
+            u8 = renderer.fetch(hnd)["rgb_u8"]
+            save_png(os.path.join(out_dir, f"{i:03d}.png"), u8)
+            frames[i] = u8
+
         for i, rays in enumerate(
             test_path_rays(spec, anchor.c2w, (w, h), near, far)
         ):
-            out = renderer.render_frame(
-                rays, style.appearance[None], (h, w)
-            )
-            save_png(os.path.join(out_dir, f"{i:03d}.png"), out["rgb"])
-            frames.append(
-                (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
-            )
+            pending.append((
+                i,
+                renderer.render_frame_async(
+                    rays, style.appearance[None], (h, w),
+                    outputs="rgb_u8",
+                ),
+            ))
+            while len(pending) >= depth:
+                _drain_path()
+        while pending:
+            _drain_path()
+        frames = [frames[i] for i in sorted(frames)]
         from crnerf_tpu.utils.visualization import write_video
 
         # gif-or-mp4 per --video_format (reference eval.py:301-304)

@@ -105,15 +105,31 @@ def main(argv: Optional[Sequence[str]] = None):
         )
         os.makedirs(out_dir, exist_ok=True)
         style = _load_style(style_path, args.appearance_wh)
-        frames = []
+        # pipelined u8 frames (apps/eval.py pattern: overlap host
+        # fetch/PNG-write with device compute of the next frame)
+        depth = max(1, getattr(renderer.cfg, "eval_pipeline", 2))
+        pending, by_idx = [], {}
+
+        def _drain():
+            i, hnd = pending.pop(0)
+            u8 = renderer.fetch(hnd)["rgb_u8"]
+            save_png(os.path.join(out_dir, f"{i:03d}.png"), u8)
+            by_idx[i] = u8
+
         for i, rays in enumerate(
             test_path_rays(spec, anchor, (w, h), near=0.0, far=5.0)
         ):
-            out = renderer.render_frame(rays, style, (h, w))
-            save_png(os.path.join(out_dir, f"{i:03d}.png"), out["rgb"])
-            frames.append(
-                (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
-            )
+            pending.append((
+                i,
+                renderer.render_frame_async(
+                    rays, style, (h, w), outputs="rgb_u8"
+                ),
+            ))
+            while len(pending) >= depth:
+                _drain()
+        while pending:
+            _drain()
+        frames = [by_idx[i] for i in sorted(by_idx)]
         from crnerf_tpu.utils.visualization import write_video
 
         write_video(os.path.join(out_dir, name), frames,

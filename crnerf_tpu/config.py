@@ -223,6 +223,13 @@ class Config:
     # band costs at most four cached compiles instead of a 5-10 min TPU
     # compile per distinct (h, w). --no-eval_bucket for the exact
     # per-resolution path.
+    eval_pipeline: int = 2  # frames kept in flight by the eval/video
+    # apps (render/inference.py render_frame_async): dispatch frame i+1
+    # before fetching frame i so device compute overlaps the host fetch.
+    # On the tunneled TPU the per-frame fetch dominates production eval
+    # wall-clock (results/REHEARSAL.md); paired with the on-device uint8
+    # quantization (~20x smaller fetch) this makes full-split rendering
+    # compute-bound. 1 = synchronous (identical outputs either way).
     log_every: int = 50
     use_wandb: bool = False  # attach wandb to the MetricLogger when the
     # package is importable (reference WandbLogger, train…py:433-439);

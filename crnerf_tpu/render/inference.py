@@ -59,6 +59,25 @@ def _keep(results: Dict) -> Dict:
     return {k: results[k] for k in _KEEP_KEYS if k in results}
 
 
+def _select(results: Dict, outputs: str) -> Dict:
+    """Shape the jitted program's return for the caller's actual need.
+
+    ``"full"``: rgb/depth/mask float arrays (validation, depth consumers).
+    ``"rgb_u8"``: ONLY the final rgb, quantized to uint8 ON DEVICE with
+    exactly the PNG writer's quantization (clip to [0,1], *255, truncating
+    cast — apps/eval.py save_png). Every PNG/GIF consumer (eval test_test,
+    eval camera path, video) quantizes anyway, so this moves the cast
+    before the host fetch and shrinks the transfer ~20x (f32
+    rgb+depth+mask -> u8 rgb): on the tunneled TPU the per-frame fetch is
+    the production eval bottleneck (results/REHEARSAL.md: 17.9 s/frame
+    wall vs ~0.6 s/frame device compute at 320x240)."""
+    kept = _keep(results)
+    if outputs == "rgb_u8":
+        r = kept.get("rgb_fine", kept["rgb_coarse"]).astype(jnp.float32)
+        return {"rgb_u8": (jnp.clip(r, 0.0, 1.0) * 255.0).astype(jnp.uint8)}
+    return kept
+
+
 class Renderer:
     def __init__(self, cfg: Config, variables: Dict,
                  system: Optional[CrNerfSystem] = None):
@@ -68,8 +87,8 @@ class Renderer:
         self._cache: Dict[Tuple, callable] = {}
 
     # ------------------------------------------------ per-resolution path
-    def _fn(self, hw: Tuple[int, int]):
-        key = ("exact", hw)
+    def _fn(self, hw: Tuple[int, int], outputs: str = "full"):
+        key = ("exact", hw, outputs)
         if key in self._cache:
             return self._cache[key]
         tile = min(self.cfg.chunk, hw[0] * hw[1])
@@ -80,19 +99,19 @@ class Renderer:
                 variables, batch, key, train=False, tile=tile,
                 image_hw=hw, want_content=False,
             )
-            return _keep(results)
+            return _select(results, outputs)
 
         fn = jax.jit(render)
         self._cache[key] = fn
         return fn
 
     # ----------------------------------------------------- bucketed path
-    def _fn_bucketed(self, p: int):
+    def _fn_bucketed(self, p: int, outputs: str = "full"):
         """Same ``system.forward`` as the exact path, on rays padded to
         the p-pixel bucket folded as a (p/128, 128) map: ``uv_pix``
         routes the mask gather to true pixel centers and ``valid`` masks
         the style statistics to the real pixels (see module docstring)."""
-        key = ("bucket", p)
+        key = ("bucket", p, outputs)
         if key in self._cache:
             return self._cache[key]
         tile = min(self.cfg.chunk, p)
@@ -108,13 +127,13 @@ class Renderer:
                 image_hw=fold_hw, valid=(vmask, n_valid),
                 want_content=False,
             )
-            return _keep(results)
+            return _select(results, outputs)
 
         fn = jax.jit(render)
         self._cache[key] = fn
         return fn
 
-    def _render_bucketed(self, rays, whole_img, hw, key):
+    def _dispatch_bucketed(self, rays, whole_img, hw, key, outputs):
         h, w = hw
         n_pix = h * w
         p = bucket_size(n_pix)
@@ -128,11 +147,10 @@ class Renderer:
             np.float32
         )
         uv_p = np.pad(uv, ((0, p - n_pix), (0, 0)), mode="edge")
-        out = self._fn_bucketed(p)(
+        return self._fn_bucketed(p, outputs)(
             self.variables, jnp.asarray(rays_p), jnp.asarray(whole_img),
             jnp.asarray(uv_p), jnp.int32(n_pix), key,
         )
-        return jax.tree.map(lambda x: np.asarray(x)[:n_pix], out)
 
     def stats(self) -> Dict:
         """Compile-cache census: how many XLA programs this renderer has
@@ -141,37 +159,67 @@ class Renderer:
         band — BASELINE.md eval rows; results/REHEARSAL.md)."""
         return {
             "programs": len(self._cache),
-            "buckets": sorted(k[1] for k in self._cache
-                              if k[0] == "bucket"),
-            "exact": sorted(k[1] for k in self._cache if k[0] == "exact"),
+            "buckets": sorted({k[1] for k in self._cache
+                               if k[0] == "bucket"}),
+            "exact": sorted({k[1] for k in self._cache
+                             if k[0] == "exact"}),
         }
 
     # ------------------------------------------------------------- entry
-    def render_frame(
+    def render_frame_async(
         self,
         rays: np.ndarray,           # (h*w, 8)
         whole_img: np.ndarray,      # (1, Ha, Wa, 3) in [-1, 1] (style source)
         hw: Tuple[int, int],        # (h, w)
         key: Optional[jax.Array] = None,
-    ) -> Dict[str, np.ndarray]:
-        h, w = hw
+        outputs: str = "full",
+    ) -> Dict:
+        """Dispatch one frame and return a HANDLE (device arrays + meta)
+        without fetching. ``fetch`` completes it. Dispatch is async, so a
+        caller that keeps a couple of handles in flight overlaps the host
+        fetch of frame i with device compute of frame i+1 — on the
+        tunneled TPU, where per-frame dispatch+fetch dominates production
+        eval wall-clock (results/REHEARSAL.md), this is the difference
+        between latency-bound and compute-bound rendering. Pair with
+        ``outputs="rgb_u8"`` when only the final image is consumed."""
         key = key if key is not None else jax.random.PRNGKey(0)
         if getattr(self.cfg, "eval_bucket", True):
-            out = self._render_bucketed(rays, whole_img, hw, key)
+            dev = self._dispatch_bucketed(rays, whole_img, hw, key, outputs)
         else:
-            out = jax.device_get(
-                self._fn(hw)(
-                    self.variables, jnp.asarray(rays),
-                    jnp.asarray(whole_img), key,
-                )
+            dev = self._fn(hw, outputs)(
+                self.variables, jnp.asarray(rays),
+                jnp.asarray(whole_img), key,
             )
+        return {"dev": dev, "hw": hw}
+
+    def fetch(self, handle: Dict) -> Dict[str, np.ndarray]:
+        """Fetch + finish a ``render_frame_async`` handle: device_get,
+        drop bucket padding, reshape flat rays to (h, w, ...)."""
+        h, w = handle["hw"]
+        n_pix = h * w
+        out = jax.device_get(handle["dev"])
+        out = {k: np.asarray(v)[:n_pix] for k, v in out.items()}
+        if "rgb_u8" in out:
+            return {"rgb_u8": out["rgb_u8"].reshape(h, w, 3)}
         typ = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"
         res = {
-            "rgb": np.asarray(out[typ]).reshape(h, w, 3),
-            "depth": np.asarray(
-                out.get("depth_fine", out["depth_coarse"])
+            "rgb": out[typ].reshape(h, w, 3),
+            "depth": out.get(
+                "depth_fine", out["depth_coarse"]
             ).reshape(h, w),
         }
         if "out_mask" in out:
-            res["mask"] = np.asarray(out["out_mask"]).reshape(h, w)
+            res["mask"] = out["out_mask"].reshape(h, w)
         return res
+
+    def render_frame(
+        self,
+        rays: np.ndarray,
+        whole_img: np.ndarray,
+        hw: Tuple[int, int],
+        key: Optional[jax.Array] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Synchronous full-output render (validation, serve, tests)."""
+        return self.fetch(
+            self.render_frame_async(rays, whole_img, hw, key)
+        )

@@ -762,6 +762,31 @@ class TestPhototourismPipeline:
         assert len(glob.glob(f"{path_dir}/0*.png")) == 2
         assert os.path.exists(f"{path_dir}/scene_brandenburg_gate.gif")
 
+        # video demo app on the same checkpoint (reference
+        # appearance_modification_video.py): one style image, 2 frames
+        from PIL import Image as PILImage
+
+        from crnerf_tpu.apps.video import main as video_main
+
+        style_dir = str(tmp_path / "styles")
+        os.makedirs(style_dir, exist_ok=True)
+        rng = np.random.RandomState(1)
+        PILImage.fromarray(
+            rng.randint(0, 255, (24, 32, 3), dtype=np.uint8)
+        ).save(os.path.join(style_dir, "art.png"))
+        video_main([
+            "--ckpt_path", f"{out}/ckpts/pt/weights.npz",
+            "--scene_name", "scene_brandenburg_gate",
+            "--style_dir", style_dir, "--save_dir", out,
+            "--img_wh", "32", "24", "--N_samples", "4",
+            "--N_importance", "4", "--chunk", "256", "--n_frames", "2",
+            "--netdepth", "2", "--netwidth", "16",
+            "--nerf_out_dim", "8", "--appearance_wh", "32", "24",
+        ])
+        vdir = f"{out}/video/scene_brandenburg_gate/art"
+        assert len(glob.glob(f"{vdir}/0*.png")) == 2
+        assert os.path.exists(f"{vdir}/art.gif")
+
         # a half-finished render dir must fail loudly, not score a
         # healthy-looking mean over the frames that do exist
         os.remove(glob.glob(f"{out}/results/phototourism/scene/*.png")[0])

@@ -87,3 +87,70 @@ class TestBucketedMatchesExact:
                 )
         buckets = [k for k in r_buck._cache if k[0] == "bucket"]
         assert len(buckets) == 1, buckets  # one compile for all 3 sizes
+
+
+class TestU8AndPipeline:
+    """The uint8-on-device output variant and async handles
+    (render/inference.py _select / render_frame_async): the PNG bytes
+    must match the synchronous float path's host quantization, and
+    handles kept in flight must not interfere with each other."""
+
+    def _scene_and_renderer(self, bucket=True):
+        cfg, system, variables = _setup(
+            encode_a=True, encode_c=True, use_mask=True,
+        )
+        scene = make_synthetic_scene(
+            n_train=2, n_test=1, img_wh=(20, 16),
+            appearance_wh=tuple(cfg.appearance_wh),
+        )
+        scene.build_ray_buffers()
+        r = Renderer(cfg.replace(eval_bucket=bucket), variables, system)
+        return scene, r
+
+    @pytest.mark.parametrize("bucket", [True, False])
+    def test_u8_matches_host_quantization(self, bucket):
+        scene, r = self._scene_and_renderer(bucket)
+        im = scene.test_images[0]
+        b = full_image_batch(scene, im)
+        w, h = im.wh
+        key = jax.random.PRNGKey(5)
+        full = r.render_frame(b["rays"][:, :8], b["whole_img"], (h, w),
+                              key)
+        host_u8 = (np.clip(full["rgb"], 0, 1) * 255).astype(np.uint8)
+        dev_u8 = r.fetch(
+            r.render_frame_async(b["rays"][:, :8], b["whole_img"],
+                                 (h, w), key, outputs="rgb_u8")
+        )["rgb_u8"]
+        assert dev_u8.dtype == np.uint8 and dev_u8.shape == (h, w, 3)
+        # the u8 program is a different XLA program than the full one;
+        # fusion rounding may flip a truncation boundary on a handful of
+        # pixels — bound it at one 8-bit level
+        assert int(
+            np.abs(dev_u8.astype(int) - host_u8.astype(int)).max()
+        ) <= 1
+
+    def test_inflight_handles_are_independent(self):
+        """Dispatch three different sizes before fetching any (deeper
+        than the apps' default pipeline): each fetch must return the
+        same pixels as its own synchronous render."""
+        scene, r = self._scene_and_renderer(bucket=True)
+        im = scene.test_images[0]
+        b = full_image_batch(scene, im)
+        w0, h0 = im.wh
+        rays = np.asarray(b["rays"][:, :8]).reshape(h0, w0, 8)
+        sizes = [(16, 20), (14, 18), (12, 16)]
+        key = jax.random.PRNGKey(7)
+        handles = [
+            r.render_frame_async(rays[:h, :w].reshape(-1, 8),
+                                 b["whole_img"], (h, w), key,
+                                 outputs="rgb_u8")
+            for (h, w) in sizes
+        ]
+        for (h, w), hnd in zip(sizes, handles):
+            got = r.fetch(hnd)["rgb_u8"]
+            ref = r.fetch(
+                r.render_frame_async(rays[:h, :w].reshape(-1, 8),
+                                     b["whole_img"], (h, w), key,
+                                     outputs="rgb_u8")
+            )["rgb_u8"]
+            np.testing.assert_array_equal(got, ref)
