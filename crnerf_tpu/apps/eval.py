@@ -91,17 +91,25 @@ def run(cfg: Config) -> str:
                 os.path.join(out_dir, f"{i:03d}.png"), out["rgb_u8"]
             )
 
+        use_cam = cfg.cam_rays and cfg.eval_bucket
         for i, im in enumerate(images):
-            b = full_image_batch(scene, im)
             w, h = im.wh
             t0 = time.perf_counter()
-            pending.append((
-                i,
-                renderer.render_frame_async(
+            if use_cam:
+                # camera-in dispatch: rays/uv generated on device —
+                # staging is the camera + this image's own appearance
+                hnd = renderer.render_frame_cam_async(
+                    im.c2w, im.K, im.near, im.far, (h, w),
+                    im.appearance[None].astype(np.float32),
+                    outputs="rgb_u8",
+                )
+            else:
+                b = full_image_batch(scene, im)
+                hnd = renderer.render_frame_async(
                     b["rays"][:, :8], b["whole_img"], (h, w),
                     outputs="rgb_u8",
-                ),
-            ))
+                )
+            pending.append((i, hnd))
             frame_s.append(time.perf_counter() - t0)  # dispatch (+compile)
             while len(pending) >= depth:
                 _drain_one()
@@ -155,16 +163,37 @@ def run(cfg: Config) -> str:
             save_png(os.path.join(out_dir, f"{i:03d}.png"), u8)
             frames[i] = u8
 
-        for i, rays in enumerate(
-            test_path_rays(spec, anchor.c2w, (w, h), near, far)
-        ):
-            pending.append((
-                i,
-                renderer.render_frame_async(
+        if cfg.cam_rays and cfg.eval_bucket:
+            # constant style across the path: stage it once, ship only
+            # the per-frame pose (rays generated on device)
+            import jax.numpy as jnp
+
+            style_dev = jnp.asarray(
+                np.asarray(style.appearance[None], np.float32)
+            )
+            K = fov_intrinsics((w, h))
+            frame_iter = (
+                (c2w, None) for c2w in spec.poses(anchor.c2w)
+            )
+        else:
+            frame_iter = (
+                (None, rays)
+                for rays in test_path_rays(
+                    spec, anchor.c2w, (w, h), near, far
+                )
+            )
+        for i, (c2w, rays) in enumerate(frame_iter):
+            if rays is None:
+                hnd = renderer.render_frame_cam_async(
+                    c2w, K, near, far, (h, w), style_dev,
+                    outputs="rgb_u8",
+                )
+            else:
+                hnd = renderer.render_frame_async(
                     rays, style.appearance[None], (h, w),
                     outputs="rgb_u8",
-                ),
-            ))
+                )
+            pending.append((i, hnd))
             while len(pending) >= depth:
                 _drain_path()
         while pending:

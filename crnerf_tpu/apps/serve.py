@@ -56,13 +56,11 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 from crnerf_tpu.config import Config
-from crnerf_tpu.core.rays import get_ray_directions, make_ray_buffer
 from crnerf_tpu.render.camera_path import (
     DEMO_ANCHORS,
     PATH_PRESETS,
     fov_intrinsics,
     resolve_scene,
-    test_path_rays,
 )
 from crnerf_tpu.render.inference import Renderer, bucket_size
 
@@ -140,7 +138,7 @@ class RenderService:
             return self._load_style(req["style_image"])
         raise ServeError("request needs style_id or style_image")
 
-    def _rays_from(self, req: Dict) -> tuple:
+    def _cam_from(self, req: Dict) -> tuple:
         try:
             w, h = (int(x) for x in req["wh"])
             c2w = np.asarray(req["c2w"], np.float32)
@@ -156,19 +154,23 @@ class RenderService:
             K = fov_intrinsics((w, h), float(req.get("fov", 60.0)))
         near = float(req.get("near", 0.0))
         far = float(req.get("far", 5.0))
-        dirs = get_ray_directions(h, w, K)
-        return make_ray_buffer(dirs, c2w, near, far, 0)[:, :8], (h, w)
+        return c2w, K, near, far, (h, w)
 
-    def _render(self, rays, style, hw) -> Dict:
+    def _render(self, cam, style, hw) -> Dict:
+        c2w, K, near, far = cam
         p = bucket_size(hw[0] * hw[1])
-        fresh = ("bucket", p, "rgb_u8") not in self.renderer._cache
+        fresh = (
+            ("bucket_cam", p, "rgb_u8") not in self.renderer._cache
+        )
         t0 = time.perf_counter()
-        # uint8-on-device output: every serve consumer is a PNG encoder,
-        # and the quantized fetch is ~20x smaller over the TPU tunnel
-        # (render/inference.py _select)
+        # camera-in + uint8-out: requests ship ~40 bytes of camera params
+        # (rays generated in the bucketed program) and the reply fetch is
+        # the quantized image (~20x smaller than float rgb+depth+mask) —
+        # both directions of the tunnel round-trip minimized
+        # (render/inference.py _fn_bucketed_cam / _select)
         out = self.renderer.fetch(
-            self.renderer.render_frame_async(
-                rays, style, hw, outputs="rgb_u8"
+            self.renderer.render_frame_cam_async(
+                c2w, K, near, far, hw, style, outputs="rgb_u8"
             )
         )
         ms = (time.perf_counter() - t0) * 1e3
@@ -185,9 +187,7 @@ class RenderService:
 
         return {
             "device": jax.devices()[0].platform,
-            "buckets": sorted(
-                {k[1] for k in self.renderer._cache if k[0] == "bucket"}
-            ),
+            "buckets": self.renderer.stats()["buckets"],
             "styles": sorted(self.styles),
         }
 
@@ -200,10 +200,10 @@ class RenderService:
     def op_render(self, req):
         if not req.get("inline") and "out_path" not in req:
             raise ServeError("render needs inline:true and/or out_path")
-        rays, hw = self._rays_from(req)
+        c2w, K, near, far, hw = self._cam_from(req)
         style = self._style_from(req)
         with self.lock:
-            r = self._render(rays, style, hw)
+            r = self._render((c2w, K, near, far), style, hw)
         resp = {"ms": r["ms"], "bucket": r["bucket"],
                 "compiled": r["compiled"], "wh": [hw[1], hw[0]]}
         if req.get("inline"):
@@ -244,15 +244,12 @@ class RenderService:
         out_dir = self._check_path(req["out_dir"])
         os.makedirs(out_dir, exist_ok=True)
         frames, t0 = [], time.perf_counter()
-        for i, rays in enumerate(
-            test_path_rays(
-                spec, anchor, (w, h),
-                near=float(req.get("near", 0.0)),
-                far=float(req.get("far", 5.0)),
-            )
-        ):
+        K = fov_intrinsics((w, h), float(req.get("fov", 60.0)))
+        near = float(req.get("near", 0.0))
+        far = float(req.get("far", 5.0))
+        for i, c2w in enumerate(spec.poses(anchor)):
             with self.lock:  # per-frame: single renders can interleave
-                r = self._render(rays, style, (h, w))
+                r = self._render((c2w, K, near, far), style, (h, w))
             with open(
                 os.path.join(out_dir, f"{i:03d}.png"), "wb"
             ) as f:
@@ -275,9 +272,7 @@ class RenderService:
         return {
             "renders": self.n_renders,
             "p50_ms": pct(0.50), "p95_ms": pct(0.95),
-            "buckets_compiled": sorted(
-                {k[1] for k in self.renderer._cache if k[0] == "bucket"}
-            ),
+            "buckets_compiled": self.renderer.stats()["buckets"],
             "styles": sorted(self.styles),
         }
 
@@ -415,11 +410,11 @@ def main(argv: Optional[Sequence[str]] = None):
         w, h = (int(x) for x in size.lower().split("x"))
         style = np.zeros((1, args.appearance_wh[1],
                           args.appearance_wh[0], 3), np.float32)
-        rays, hw = svc._rays_from({
+        c2w, K, near, far, hw = svc._cam_from({
             "wh": [w, h],
             "c2w": np.eye(3, 4, dtype=np.float32).tolist(),
         })
-        svc._render(rays, style, hw)
+        svc._render((c2w, K, near, far), style, hw)
         print(f"warmup {w}x{h}: bucket {bucket_size(w * h)} compiled")
 
     server = Server(svc, args.host, args.port)

@@ -116,17 +116,39 @@ def main(argv: Optional[Sequence[str]] = None):
             save_png(os.path.join(out_dir, f"{i:03d}.png"), u8)
             by_idx[i] = u8
 
-        for i, rays in enumerate(
-            test_path_rays(spec, anchor, (w, h), near=0.0, far=5.0)
+        if getattr(renderer.cfg, "cam_rays", True) and getattr(
+            renderer.cfg, "eval_bucket", True
         ):
-            pending.append((
-                i,
-                renderer.render_frame_async(
-                    rays, style, (h, w), outputs="rgb_u8"
-                ),
-            ))
-            while len(pending) >= depth:
-                _drain()
+            # pose-only dispatch: the style is staged once as a device
+            # array; rays are generated in the bucketed program
+            import jax.numpy as jnp
+
+            from crnerf_tpu.render.camera_path import fov_intrinsics
+
+            style_dev = jnp.asarray(np.asarray(style, np.float32))
+            K = fov_intrinsics((w, h))
+            for i, c2w in enumerate(spec.poses(anchor)):
+                pending.append((
+                    i,
+                    renderer.render_frame_cam_async(
+                        c2w, K, 0.0, 5.0, (h, w), style_dev,
+                        outputs="rgb_u8",
+                    ),
+                ))
+                while len(pending) >= depth:
+                    _drain()
+        else:
+            for i, rays in enumerate(
+                test_path_rays(spec, anchor, (w, h), near=0.0, far=5.0)
+            ):
+                pending.append((
+                    i,
+                    renderer.render_frame_async(
+                        rays, style, (h, w), outputs="rgb_u8"
+                    ),
+                ))
+                while len(pending) >= depth:
+                    _drain()
         while pending:
             _drain()
         frames = [by_idx[i] for i in sorted(by_idx)]

@@ -223,6 +223,11 @@ class Config:
     # band costs at most four cached compiles instead of a 5-10 min TPU
     # compile per distinct (h, w). --no-eval_bucket for the exact
     # per-resolution path.
+    cam_rays: bool = True  # eval/video/serve frames ship (c2w, K, near,
+    # far) and generate rays + uv inside the bucketed program
+    # (render/inference.py _fn_bucketed_cam) instead of staging a
+    # (h*w, 8) host ray buffer (~20 MB/frame at the largest buckets over
+    # the TPU tunnel). --no-cam_rays restores host ray generation.
     eval_pipeline: int = 2  # frames kept in flight by the eval/video
     # apps (render/inference.py render_frame_async): dispatch frame i+1
     # before fetching frame i so device compute overlaps the host fetch.
@@ -293,14 +298,12 @@ class Config:
         return Config(**clean)
 
 
+# Boolean flags are detected from the dataclass default's type (every
+# bool gets a paired --flag / --no-flag); a hand-maintained name set
+# silently dropped new fields (cam_rays shipped without its CLI switch).
 _BOOL_FIELDS = {
-    "use_cache", "testit", "use_disp", "pertube_cord", "use_residual",
-    "encode_a", "encode_c", "encode_random", "use_mask", "mse_on_appearance",
-    "use_pallas", "pallas_train", "pallas_render", "pallas_interpret",
-    "pallas_stash", "fast_sincos", "remat", "donate_state", "profile",
-    "use_wandb", "eval_bucket", "hoist_heads", "auto_resume", "s2d_heads",
-    "s2d_stack", "fold_heads",
-    "chunk_unroll",
+    f.name for f in dataclasses.fields(Config)
+    if isinstance(getattr(Config(), f.name), bool)
 }
 
 

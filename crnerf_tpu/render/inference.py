@@ -133,6 +133,69 @@ class Renderer:
         self._cache[key] = fn
         return fn
 
+    def _fn_bucketed_cam(self, p: int, outputs: str = "full"):
+        """Bucketed render with rays and uv generated ON DEVICE from the
+        camera (core/rays.py math: d = ((i-cx)/fx, -(j-cy)/fy, -1) rotated
+        by c2w and normalized; uv at pixel centers; bucket padding = edge
+        = clamp to the last valid pixel). Per-frame host->device staging
+        drops from ~20 MB at the largest buckets ((p,8) f32 rays + (p,2)
+        uv over the tunnel — the residual bottleneck after the u8 fetch,
+        BASELINE.md 2026-08-20) to ~40 bytes of camera parameters.
+        Inputs: c2w (3,4), intr (fx,fy,cx,cy), nf (near,far), wh (h,w)
+        int32, n_valid, whole_img, key."""
+        key = ("bucket_cam", p, outputs)
+        if key in self._cache:
+            return self._cache[key]
+        tile = min(self.cfg.chunk, p)
+        fold_hw = (p // _FOLD_W, _FOLD_W)
+
+        def render(variables, c2w, intr, nf, wh, n_valid, whole_img, key):
+            idx = jnp.arange(p, dtype=jnp.int32)
+            idxc = jnp.minimum(idx, n_valid - 1)  # edge padding
+            jj = (idxc // wh[1]).astype(jnp.float32)
+            ii = (idxc % wh[1]).astype(jnp.float32)
+            d_cam = jnp.stack(
+                [(ii - intr[2]) / intr[0],
+                 -(jj - intr[3]) / intr[1],
+                 -jnp.ones_like(ii)], -1,
+            )
+            # rotate elementwise, NOT d_cam @ R.T: a jnp matmul lands on
+            # the MXU at default precision (bf16 inputs on TPU), and the
+            # ~0.3% direction error visibly shifts samples vs the host's
+            # f32 rays (20% of pixels off, max ~200/255 on the rehearsal
+            # scene). Elementwise keeps the 9 MACs on the VPU in f32.
+            R = c2w[:, :3]
+            rays_d = (
+                d_cam[:, 0:1] * R[None, :, 0]
+                + d_cam[:, 1:2] * R[None, :, 1]
+                + d_cam[:, 2:3] * R[None, :, 2]
+            )
+            rays_d = rays_d / jnp.linalg.norm(
+                rays_d, axis=-1, keepdims=True
+            )
+            rays = jnp.concatenate(
+                [jnp.broadcast_to(c2w[:, 3], (p, 3)), rays_d,
+                 jnp.full((p, 1), nf[0]), jnp.full((p, 1), nf[1])], 1,
+            )
+            uv = jnp.stack(
+                [(jj + 0.5) / wh[0].astype(jnp.float32),
+                 (ii + 0.5) / wh[1].astype(jnp.float32)], -1,
+            )
+            vmask = (
+                jnp.arange(p) < n_valid
+            ).reshape(1, *fold_hw, 1).astype(jnp.float32)
+            batch = {"rays": rays, "whole_img": whole_img, "uv_pix": uv}
+            results, _ = self.system.forward(
+                variables, batch, key, train=False, tile=tile,
+                image_hw=fold_hw, valid=(vmask, n_valid),
+                want_content=False,
+            )
+            return _select(results, outputs)
+
+        fn = jax.jit(render)
+        self._cache[key] = fn
+        return fn
+
     def _dispatch_bucketed(self, rays, whole_img, hw, key, outputs):
         h, w = hw
         n_pix = h * w
@@ -160,7 +223,7 @@ class Renderer:
         return {
             "programs": len(self._cache),
             "buckets": sorted({k[1] for k in self._cache
-                               if k[0] == "bucket"}),
+                               if k[0] in ("bucket", "bucket_cam")}),
             "exact": sorted({k[1] for k in self._cache
                              if k[0] == "exact"}),
         }
@@ -190,6 +253,55 @@ class Renderer:
                 self.variables, jnp.asarray(rays),
                 jnp.asarray(whole_img), key,
             )
+        return {"dev": dev, "hw": hw}
+
+    def render_frame_cam_async(
+        self,
+        c2w: np.ndarray,            # (3, 4) camera-to-world
+        K: np.ndarray,              # (3, 3) intrinsics
+        near: float,
+        far: float,
+        hw: Tuple[int, int],        # (h, w)
+        whole_img,                  # (1, Ha, Wa, 3); may be a device array
+        key: Optional[jax.Array] = None,
+        outputs: str = "full",
+    ) -> Dict:
+        """Camera-in dispatch: ship (c2w, K, near, far) instead of a
+        (h*w, 8) ray buffer — rays/uv are generated in the bucketed
+        program (``_fn_bucketed_cam``). Pass ``whole_img`` as a device
+        array to skip restaging a constant style across frames. Falls
+        back to host ray generation when bucketing is off."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if not getattr(self.cfg, "eval_bucket", True):
+            from crnerf_tpu.core.rays import (
+                get_ray_directions,
+                make_ray_buffer,
+            )
+
+            h, w = hw
+            dirs = get_ray_directions(h, w, np.asarray(K))
+            rays = make_ray_buffer(
+                dirs, np.asarray(c2w), near, far, 0
+            )[:, :8]
+            return self.render_frame_async(
+                rays, whole_img, hw, key, outputs
+            )
+        h, w = hw
+        n_pix = h * w
+        p = bucket_size(n_pix)
+        K = np.asarray(K, np.float32)
+        intr = np.asarray(
+            [K[0][0], K[1][1], K[0][2], K[1][2]], np.float32
+        )
+        dev = self._fn_bucketed_cam(p, outputs)(
+            self.variables, jnp.asarray(np.asarray(c2w, np.float32)),
+            jnp.asarray(intr),
+            jnp.asarray([near, far], np.float32),
+            jnp.asarray([h, w], np.int32), jnp.int32(n_pix),
+            whole_img if isinstance(whole_img, jax.Array)
+            else jnp.asarray(whole_img),
+            key,
+        )
         return {"dev": dev, "hw": hw}
 
     def fetch(self, handle: Dict) -> Dict[str, np.ndarray]:

@@ -36,6 +36,24 @@ def enable(cache_dir: str | None = None) -> bool:
         jax.config.update("jax_compilation_cache_dir", path)
         # don't bother persisting sub-second compiles
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # Multi-process runs (CRNERF_MULTIHOST pods): jax only WRITES
+        # cache entries from the lead process, so on restarts the lead
+        # loads its programs in seconds while every other rank recompiles
+        # for minutes. That skew stalls the first collective (CPU/Gloo's
+        # communicator setup has a hardcoded 30 s KV timeout — observed
+        # as "Gloo context initialization failed: DEADLINE_EXCEEDED" in
+        # tests/multiprocess_worker.py before it dropped the cache).
+        # Binary sharing makes the lead compile-or-load ONCE and ship the
+        # serialized executable to all ranks through the coordination
+        # service (blocking get, 20 min default timeout): no skew, and
+        # (N-1) fewer compiles per program.
+        try:
+            from jax._src import distributed
+
+            if distributed.global_state.client is not None:
+                jax.config.update("jax_share_binary_between_hosts", True)
+        except Exception:
+            pass  # private-API drift: plain per-process caching still on
     except Exception:
         return False
     return True

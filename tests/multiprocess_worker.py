@@ -56,15 +56,28 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # full-step CPU compiles are 1-4 min each; the persistent cache makes
-    # the 4 workers (and repeat suite runs) share them
-    from crnerf_tpu.utils.jit_cache import enable as enable_jit_cache
-
-    enable_jit_cache()
+    # Deliberately NO persistent jit cache here: jax only WRITES cache
+    # entries from process 0, so on repeat runs rank 0 loads its programs
+    # in seconds while every other rank recompiles for minutes. That
+    # asymmetric skew at the first collective execution blows Gloo's
+    # hardcoded 30 s KV-store timeout ("Gloo context initialization
+    # failed: DEADLINE_EXCEEDED") and kills the run. Symmetric cold
+    # compiles keep the ranks within scheduler-fairness skew of each
+    # other, which the pre-Trainer barrier below plus Gloo's window
+    # absorb.
     jax.distributed.initialize(
         coordinator_address=a.coordinator,
         num_processes=a.num_processes,
         process_id=a.process_id,
+        # CI hosts can be as small as ONE core: 2-4 workers serialize
+        # their 1-4 min compiles on it, so a peer legitimately falls
+        # >5 min behind (jax defaults: heartbeat 100 s, shutdown barrier
+        # 300 s) and the default barriers kill the healthy run — seen as
+        # "Shutdown barrier has failed ... 1/2 reached". The runner's
+        # communicate(timeout=1200) stays the real watchdog.
+        initialization_timeout=600,
+        heartbeat_timeout_seconds=600,
+        shutdown_timeout_seconds=1100,
     )
     assert jax.process_count() == a.num_processes
     assert len(jax.local_devices()) == a.local_devices
@@ -94,6 +107,20 @@ def main():
         MetricLogger(os.path.join(a.save_dir, "logs"), cfg.exp_name)
         if jax.process_index() == 0
         else None
+    )
+    # Align the processes BEFORE the first collective. Worker startup
+    # (imports, scene synth) is heavily skewed when CI serializes the
+    # workers on few cores, and the first cross-process collective fires
+    # already inside Trainer.__init__ (device_put's multihost
+    # assert_equal all-gather): a fast worker reaching it while a slow
+    # one is still importing dies on Gloo's hardcoded 30 s communicator
+    # KV timeout. This barrier rides the coordination service (generous
+    # timeouts); past it, every program's compile starts simultaneously
+    # on all processes and collectives keep later steps aligned.
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier(
+        "pre_trainer", timeout_in_ms=900_000
     )
     tr = Trainer(cfg, scene, logger=logger)
     if a.preempt_at:

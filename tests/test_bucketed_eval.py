@@ -154,3 +154,45 @@ class TestU8AndPipeline:
                                      outputs="rgb_u8")
             )["rgb_u8"]
             np.testing.assert_array_equal(got, ref)
+
+    def test_cam_rays_match_host_rays(self):
+        """Camera-in dispatch (rays/uv generated on device from
+        (c2w, K, near, far) — render/inference.py _fn_bucketed_cam) must
+        reproduce the host-ray-buffer path pixel-for-pixel (<= 1 8-bit
+        level: the two are different XLA programs; the ray math itself is
+        the same core/rays.py formulas)."""
+        scene, r = self._scene_and_renderer(bucket=True)
+        im = scene.test_images[0]
+        b = full_image_batch(scene, im)
+        w, h = im.wh
+        key = jax.random.PRNGKey(9)
+        host_u8 = r.fetch(
+            r.render_frame_async(b["rays"][:, :8], b["whole_img"],
+                                 (h, w), key, outputs="rgb_u8")
+        )["rgb_u8"]
+        cam_u8 = r.fetch(
+            r.render_frame_cam_async(
+                im.c2w, im.K, im.near, im.far, (h, w),
+                im.appearance[None].astype(np.float32), key,
+                outputs="rgb_u8",
+            )
+        )["rgb_u8"]
+        assert cam_u8.shape == host_u8.shape
+        assert int(
+            np.abs(cam_u8.astype(int) - host_u8.astype(int)).max()
+        ) <= 1
+
+    def test_cam_rays_nonbucketed_fallback(self):
+        """With bucketing off the cam entry falls back to host rays and
+        the exact per-resolution program."""
+        scene, r = self._scene_and_renderer(bucket=False)
+        im = scene.test_images[0]
+        w, h = im.wh
+        out = r.fetch(
+            r.render_frame_cam_async(
+                im.c2w, im.K, im.near, im.far, (h, w),
+                im.appearance[None].astype(np.float32),
+                outputs="rgb_u8",
+            )
+        )
+        assert out["rgb_u8"].shape == (h, w, 3)

@@ -43,10 +43,16 @@ def _run_workers(tmp_path, extra_args=(), num_processes=2):
         ROOT + os.pathsep + inherited if inherited else ROOT
     )
     save_dir = tmp_path / "run"  # shared dir, as on a real multi-host fs
-    procs, out_paths = [], []
+    procs, out_paths, log_files = [], [], []
     for pid in range(num_processes):
         out = tmp_path / f"result_{pid}.json"
         out_paths.append(out)
+        # logs go to FILES, not PIPEs: communicate() below drains one
+        # process at a time, and a later worker blocking on a full
+        # 64 KB stdout pipe would stall its collectives until the
+        # earlier ones hit the distributed shutdown barrier timeout
+        lf = open(tmp_path / f"worker_{pid}.log", "w+")
+        log_files.append(lf)
         procs.append(
             subprocess.Popen(
                 [
@@ -60,7 +66,7 @@ def _run_workers(tmp_path, extra_args=(), num_processes=2):
                 ],
                 cwd=ROOT,
                 env=env,
-                stdout=subprocess.PIPE,
+                stdout=lf,
                 stderr=subprocess.STDOUT,
                 text=True,
             )
@@ -69,13 +75,18 @@ def _run_workers(tmp_path, extra_args=(), num_processes=2):
     try:
         for p in procs:
             # 4 workers x (train step + val render + restore) compiles:
-            # 1-4 min each on a cold cache under CI load
-            log, _ = p.communicate(timeout=1200)
-            logs.append(log)
+            # 1-4 min each on a cold cache under CI load (possibly one
+            # shared core — see the worker's distributed timeouts)
+            p.wait(timeout=1200)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        for lf in log_files:
+            lf.flush()
+            lf.seek(0)
+            logs.append(lf.read())
+            lf.close()
     assert all(p.returncode == 0 for p in procs), (
         "worker failed:\n" + "\n=== next worker ===\n".join(logs)
     )
