@@ -158,10 +158,21 @@ class RenderService:
 
     def _render(self, cam, style, hw) -> Dict:
         c2w, K, near, far = cam
-        p = bucket_size(hw[0] * hw[1])
-        fresh = (
-            ("bucket_cam", p, "rgb_u8") not in self.renderer._cache
-        )
+        # cache key mirrors the dispatch route in render_frame_cam_async:
+        # bucketed cam program when eval_bucket is on, else the exact
+        # per-resolution program (advisor r4: checking only the
+        # bucket_cam key misreported compiled/bucket with bucketing off)
+        if self.cfg.eval_bucket:
+            p = self.renderer.bucket_for(hw[0] * hw[1])
+            kind = (
+                "bucket_cam_sh" if self.renderer._n_shard > 1
+                else "bucket_cam"
+            )
+            cache_key = (kind, p, "rgb_u8")
+        else:
+            p = None
+            cache_key = ("exact", tuple(hw), "rgb_u8")
+        fresh = cache_key not in self.renderer._cache
         t0 = time.perf_counter()
         # camera-in + uint8-out: requests ship ~40 bytes of camera params
         # (rays generated in the bucketed program) and the reply fetch is

@@ -79,7 +79,16 @@ def main(argv: Optional[Sequence[str]] = None):
         encode_random=False,
     )
     variables = load_variables(args.ckpt_path)
-    renderer = Renderer(cfg, variables)
+    # multi-device hosts shard the bucketed render over a data mesh
+    # (same production path as apps/eval — render/inference.py)
+    import jax
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from crnerf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(0)
+    renderer = Renderer(cfg, variables, mesh=mesh)
 
     scene_key = resolve_scene(args.scene_name)
     spec = PATH_PRESETS[scene_key]

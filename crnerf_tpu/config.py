@@ -254,6 +254,21 @@ class Config:
     # per-step: the scan body gathers them on device from the resident
     # appearance stack. 0/1 = per-step feeding (panels/profile hooks are
     # per-step-path features and are skipped in slab mode).
+    slab_data: str = "auto"  # slab-mode batch staging. 'host' ships the
+    # full (rays, ts, rgbs) arrays per step (~48 KB/grid -> ~100 MB per
+    # 125-step G=16 slab over the tunnel). 'device' keeps the scene's
+    # flat ray/rgb buffers RESIDENT in HBM (48 B/ray) and ships only
+    # (ray_idx int32, uv_pix, image_idx) per step (~12 KB/grid, ~8x
+    # less); the scan body gathers the rows on device — bitwise-identical
+    # batches (a pure gather of the same f32 rows; pinned by
+    # tests/test_slab_gather.py). 'auto' = 'device' when the buffers fit
+    # slab_buf_gb, else 'host' (Brandenburg ds2 is ~18 GB of rays — the
+    # resident mode is a fit question, not a correctness one).
+    slab_buf_gb: float = 6.0  # resident ray/rgb budget for slab_data=auto
+    val_every_epochs: int = 1  # run the epoch-end validation render every
+    # N epochs (reference: every epoch, train…py:340-417). 0 disables
+    # validation entirely (throughput A/B runs); the last epoch always
+    # validates when enabled.
     norm: str = "batch"  # CGNet norm: 'batch' (reference fidelity) | 'group'
     video_format: str = "gif"  # gif | mp4 (reference eval.py:301-304)
     num_frames: int = 0  # camera-path frame count override for

@@ -69,6 +69,36 @@ class TrainPipeline:
             "image_idx": np.int32(s["image_idx"]),
         }
 
+    def make_batch_idx(self, epoch: int, idx: int) -> Dict[str, np.ndarray]:
+        """Index-only form of ``make_batch`` for the device-resident slab
+        mode (Config.slab_data='device'): the same sampler draw, but the
+        host ships only (ray_idx, uv_pix, image_idx) — the scan body
+        gathers the ray/ts/rgb rows from the HBM-resident buffers
+        (train/loop.py), which is bitwise-identical to the host gather
+        (same f32 rows, pure take)."""
+        s = self.sampler.sample(epoch, idx)
+        assert self.scene.offsets[-1] < 2**31, (
+            "ray buffer exceeds int32 indexing; use slab_data='host'"
+        )
+        return {
+            "ray_idx": s["ray_idx"].astype(np.int32),
+            "uv_pix": s["uv_pix"],
+            "image_idx": np.int32(s["image_idx"]),
+        }
+
+    def make_global_batch_idx(
+        self, epoch: int, idx: int, n_devices: int
+    ) -> Dict[str, np.ndarray]:
+        """``make_global_batch`` for the index-only form (same round-robin
+        draw order)."""
+        parts = [
+            self.make_batch_idx(epoch, idx * n_devices + d)
+            for d in range(n_devices)
+        ]
+        return {
+            k: np.stack([p[k] for p in parts], 0) for k in parts[0]
+        }
+
     def make_global_batch(
         self, epoch: int, idx: int, n_devices: int
     ) -> Dict[str, np.ndarray]:

@@ -59,6 +59,103 @@ def _keep(results: Dict) -> Dict:
     return {k: results[k] for k in _KEEP_KEYS if k in results}
 
 
+def _cam_rays_uv(idx, c2w, intr, nf, wh, n_valid):
+    """rays (n, 8) + uv (n, 2) for flat pixel ids ``idx`` of an (h, w)
+    image, generated ON DEVICE from the camera (core/rays.py math:
+    d = ((i-cx)/fx, -(j-cy)/fy, -1) rotated by c2w and normalized; uv at
+    pixel centers; ids past n_valid edge-clamp to the last valid pixel).
+    Factored out of ``_fn_bucketed_cam`` so the mesh-sharded variant
+    generates its ray SLICE with literally the same ops."""
+    idxc = jnp.minimum(idx, n_valid - 1)  # edge padding
+    jj = (idxc // wh[1]).astype(jnp.float32)
+    ii = (idxc % wh[1]).astype(jnp.float32)
+    d_cam = jnp.stack(
+        [(ii - intr[2]) / intr[0],
+         -(jj - intr[3]) / intr[1],
+         -jnp.ones_like(ii)], -1,
+    )
+    # rotate elementwise, NOT d_cam @ R.T: a jnp matmul lands on the MXU
+    # at default precision (bf16 inputs on TPU), and the ~0.3% direction
+    # error visibly shifts samples vs the host's f32 rays (20% of pixels
+    # off, max ~200/255 on the rehearsal scene). Elementwise keeps the 9
+    # MACs on the VPU in f32.
+    R = c2w[:, :3]
+    rays_d = (
+        d_cam[:, 0:1] * R[None, :, 0]
+        + d_cam[:, 1:2] * R[None, :, 1]
+        + d_cam[:, 2:3] * R[None, :, 2]
+    )
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    n = idx.shape[0]
+    rays = jnp.concatenate(
+        [jnp.broadcast_to(c2w[:, 3], (n, 3)), rays_d,
+         jnp.full((n, 1), nf[0]), jnp.full((n, 1), nf[1])], 1,
+    )
+    uv = jnp.stack(
+        [(jj + 0.5) / wh[0].astype(jnp.float32),
+         (ii + 0.5) / wh[1].astype(jnp.float32)], -1,
+    )
+    return rays, uv
+
+
+def _sharded_bucketed_results(system, variables, rays_loc, uv_full,
+                              whole_img, n_valid, key, p, fold_hw, tile,
+                              axis_name):
+    """Per-device body of the mesh-sharded BUCKETED render: volume-render
+    the local ray slice (the expensive part), all_gather per-ray
+    features/depth over the mesh (ICI — a few MB), then run the
+    global-statistics style decode replicated with masked valid-pixel
+    stats. This is ``forward_eval_sharded``'s design (render/system.py)
+    carried onto the production bucketed program, so multi-chip eval
+    gets bucketing + cam-rays + u8 + pipelining instead of a per-shape
+    second renderer (r4 verdict weak #2). Call INSIDE shard_map."""
+    from crnerf_tpu.models.common import sample_bilinear_uv
+    from crnerf_tpu.render.renderer import render_rays_tiled
+
+    cfg = system.cfg
+    params = variables["params"]
+    results: Dict = {}
+    a_embedded = None
+    if cfg.encode_a:
+        whole01 = (whole_img + 1.0) / 2.0
+        a_embedded = system.encode_appearance(params, whole01)
+    if cfg.use_mask:
+        whole01m = (whole_img + 1.0) / 2.0
+        mask_small, _ = system.predict_mask(variables, whole01m, False)
+        results["out_mask"] = sample_bilinear_uv(mask_small[0], uv_full)
+
+    apply_fine = system._apply_fine if system.m.fine is not None else None
+    ray_params = {
+        "coarse": params["nerf_coarse"],
+        "fine": params.get("nerf_fine"),
+    }
+    kw = system._render_kw(train=False)
+    rr = render_rays_tiled(
+        system._apply_coarse, apply_fine, ray_params, rays_loc, key,
+        tile=tile, **kw,
+    )
+
+    def gather(x):
+        return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+
+    vmask = (
+        jnp.arange(p) < n_valid
+    ).reshape(1, *fold_hw, 1).astype(jnp.float32)
+    valid = (vmask, n_valid)
+    fmap_c = gather(rr["feature_coarse"])
+    results["depth_coarse"] = gather(rr["depth_coarse"])
+    results["rgb_coarse"] = system.decode(
+        params, fmap_c, fold_hw, a_embedded, valid=valid
+    ).reshape(-1, 3)
+    if cfg.N_importance > 0:
+        fmap_f = gather(rr["feature_fine"])
+        results["depth_fine"] = gather(rr["depth_fine"])
+        results["rgb_fine"] = system.decode(
+            params, fmap_f, fold_hw, a_embedded, valid=valid
+        ).reshape(-1, 3)
+    return results
+
+
 def _select(results: Dict, outputs: str) -> Dict:
     """Shape the jitted program's return for the caller's actual need.
 
@@ -80,11 +177,33 @@ def _select(results: Dict, outputs: str) -> Dict:
 
 class Renderer:
     def __init__(self, cfg: Config, variables: Dict,
-                 system: Optional[CrNerfSystem] = None):
+                 system: Optional[CrNerfSystem] = None, mesh=None):
+        """``mesh``: an optional ``jax.sharding.Mesh`` — with more than
+        one device the bucketed programs shard the padded ray axis over
+        it (``_fn_bucketed_cam_sharded``), so multi-chip eval rides the
+        SAME production path (bucketing, cam-rays, u8 fetch, pipelining)
+        as single-chip; pixels match the single-device programs
+        (tests/test_sharded_bucketed.py)."""
         self.cfg = cfg
         self.system = system or CrNerfSystem(cfg)
         self.variables = variables
+        self.mesh = mesh
+        self._n_shard = (
+            int(mesh.devices.size) if mesh is not None else 1
+        )
         self._cache: Dict[Tuple, callable] = {}
+
+    def bucket_for(self, n_pix: int) -> int:
+        """The ray-bucket this renderer will use for an n_pix frame:
+        ``bucket_size`` rounded up so every device's slice keeps whole
+        fold rows when the bucket is sharded over the mesh (identity for
+        meshes up to 8 devices — all quarter-octave points are multiples
+        of 1024)."""
+        p = bucket_size(n_pix)
+        if self._n_shard > 1:
+            q = self._n_shard * _FOLD_W
+            p = -(-p // q) * q
+        return p
 
     # ------------------------------------------------ per-resolution path
     def _fn(self, hw: Tuple[int, int], outputs: str = "full"):
@@ -151,36 +270,7 @@ class Renderer:
 
         def render(variables, c2w, intr, nf, wh, n_valid, whole_img, key):
             idx = jnp.arange(p, dtype=jnp.int32)
-            idxc = jnp.minimum(idx, n_valid - 1)  # edge padding
-            jj = (idxc // wh[1]).astype(jnp.float32)
-            ii = (idxc % wh[1]).astype(jnp.float32)
-            d_cam = jnp.stack(
-                [(ii - intr[2]) / intr[0],
-                 -(jj - intr[3]) / intr[1],
-                 -jnp.ones_like(ii)], -1,
-            )
-            # rotate elementwise, NOT d_cam @ R.T: a jnp matmul lands on
-            # the MXU at default precision (bf16 inputs on TPU), and the
-            # ~0.3% direction error visibly shifts samples vs the host's
-            # f32 rays (20% of pixels off, max ~200/255 on the rehearsal
-            # scene). Elementwise keeps the 9 MACs on the VPU in f32.
-            R = c2w[:, :3]
-            rays_d = (
-                d_cam[:, 0:1] * R[None, :, 0]
-                + d_cam[:, 1:2] * R[None, :, 1]
-                + d_cam[:, 2:3] * R[None, :, 2]
-            )
-            rays_d = rays_d / jnp.linalg.norm(
-                rays_d, axis=-1, keepdims=True
-            )
-            rays = jnp.concatenate(
-                [jnp.broadcast_to(c2w[:, 3], (p, 3)), rays_d,
-                 jnp.full((p, 1), nf[0]), jnp.full((p, 1), nf[1])], 1,
-            )
-            uv = jnp.stack(
-                [(jj + 0.5) / wh[0].astype(jnp.float32),
-                 (ii + 0.5) / wh[1].astype(jnp.float32)], -1,
-            )
+            rays, uv = _cam_rays_uv(idx, c2w, intr, nf, wh, n_valid)
             vmask = (
                 jnp.arange(p) < n_valid
             ).reshape(1, *fold_hw, 1).astype(jnp.float32)
@@ -196,10 +286,93 @@ class Renderer:
         self._cache[key] = fn
         return fn
 
+    # ------------------------------------------- mesh-sharded bucketed
+    def _fn_bucketed_cam_sharded(self, p: int, outputs: str = "full"):
+        """``_fn_bucketed_cam`` with the padded ray axis sharded over the
+        mesh: each device generates ITS slice of the rays on device
+        (lax.axis_index picks the range), volume-renders it, and the
+        per-ray features are all-gathered for the replicated masked-stat
+        decode (_sharded_bucketed_results). Cache key is (bucket,
+        outputs) — NOT the image shape — so multi-chip eval keeps the
+        <= 4-compiles-per-2x-band property."""
+        key = ("bucket_cam_sh", p, outputs)
+        if key in self._cache:
+            return self._cache[key]
+        import jax.sharding as js
+
+        from crnerf_tpu.parallel.mesh import DATA_AXIS
+
+        P = js.PartitionSpec
+        d = self._n_shard
+        p_loc = p // d
+        tile = min(self.cfg.chunk, p_loc)
+        fold_hw = (p // _FOLD_W, _FOLD_W)
+        system = self.system
+
+        def per_device(variables, c2w, intr, nf, wh, n_valid,
+                       whole_img, key):
+            i0 = jax.lax.axis_index(DATA_AXIS) * p_loc
+            idx_loc = (i0 + jnp.arange(p_loc)).astype(jnp.int32)
+            rays_loc, _ = _cam_rays_uv(idx_loc, c2w, intr, nf, wh,
+                                       n_valid)
+            _, uv_full = _cam_rays_uv(
+                jnp.arange(p, dtype=jnp.int32), c2w, intr, nf, wh,
+                n_valid,
+            )
+            results = _sharded_bucketed_results(
+                system, variables, rays_loc, uv_full, whole_img,
+                n_valid, key, p, fold_hw, tile, DATA_AXIS,
+            )
+            return _select(results, outputs)
+
+        mapped = jax.shard_map(
+            per_device, mesh=self.mesh, in_specs=(P(),) * 8,
+            out_specs=P(), check_vma=False,
+        )
+        fn = jax.jit(mapped)
+        self._cache[key] = fn
+        return fn
+
+    def _fn_bucketed_sharded(self, p: int, outputs: str = "full"):
+        """Host-ray form of the sharded bucketed render (cam_rays off):
+        the padded (p, 8) rays and (p, 2) uv arrive sharded on the ray
+        axis; uv is re-gathered for the mask lookup."""
+        key = ("bucket_sh", p, outputs)
+        if key in self._cache:
+            return self._cache[key]
+        import jax.sharding as js
+
+        from crnerf_tpu.parallel.mesh import DATA_AXIS
+
+        P = js.PartitionSpec
+        tile = min(self.cfg.chunk, p // self._n_shard)
+        fold_hw = (p // _FOLD_W, _FOLD_W)
+        system = self.system
+
+        def per_device(variables, rays_loc, whole_img, uv_loc, n_valid,
+                       key):
+            uv_full = jax.lax.all_gather(
+                uv_loc, DATA_AXIS, axis=0, tiled=True
+            )
+            results = _sharded_bucketed_results(
+                system, variables, rays_loc, uv_full, whole_img,
+                n_valid, key, p, fold_hw, tile, DATA_AXIS,
+            )
+            return _select(results, outputs)
+
+        mapped = jax.shard_map(
+            per_device, mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(), P(DATA_AXIS), P(), P()),
+            out_specs=P(), check_vma=False,
+        )
+        fn = jax.jit(mapped)
+        self._cache[key] = fn
+        return fn
+
     def _dispatch_bucketed(self, rays, whole_img, hw, key, outputs):
         h, w = hw
         n_pix = h * w
-        p = bucket_size(n_pix)
+        p = self.bucket_for(n_pix)
         rays = np.asarray(rays)
         rays_p = np.pad(rays, ((0, p - n_pix), (0, 0)), mode="edge")
         vv, uu = np.meshgrid(
@@ -210,7 +383,12 @@ class Renderer:
             np.float32
         )
         uv_p = np.pad(uv, ((0, p - n_pix), (0, 0)), mode="edge")
-        return self._fn_bucketed(p, outputs)(
+        fn = (
+            self._fn_bucketed_sharded(p, outputs)
+            if self._n_shard > 1
+            else self._fn_bucketed(p, outputs)
+        )
+        return fn(
             self.variables, jnp.asarray(rays_p), jnp.asarray(whole_img),
             jnp.asarray(uv_p), jnp.int32(n_pix), key,
         )
@@ -222,8 +400,11 @@ class Renderer:
         band — BASELINE.md eval rows; results/REHEARSAL.md)."""
         return {
             "programs": len(self._cache),
-            "buckets": sorted({k[1] for k in self._cache
-                               if k[0] in ("bucket", "bucket_cam")}),
+            "buckets": sorted({
+                k[1] for k in self._cache
+                if k[0] in ("bucket", "bucket_cam", "bucket_sh",
+                            "bucket_cam_sh")
+            }),
             "exact": sorted({k[1] for k in self._cache
                              if k[0] == "exact"}),
         }
@@ -288,12 +469,17 @@ class Renderer:
             )
         h, w = hw
         n_pix = h * w
-        p = bucket_size(n_pix)
+        p = self.bucket_for(n_pix)
         K = np.asarray(K, np.float32)
         intr = np.asarray(
             [K[0][0], K[1][1], K[0][2], K[1][2]], np.float32
         )
-        dev = self._fn_bucketed_cam(p, outputs)(
+        mk = (
+            self._fn_bucketed_cam_sharded
+            if self._n_shard > 1
+            else self._fn_bucketed_cam
+        )
+        dev = mk(p, outputs)(
             self.variables, jnp.asarray(np.asarray(c2w, np.float32)),
             jnp.asarray(intr),
             jnp.asarray([near, far], np.float32),

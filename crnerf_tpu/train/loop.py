@@ -105,12 +105,38 @@ class Trainer:
             # Whole appearance images are NOT staged per step — the scan
             # body gathers them from the resident appearance stack (one
             # (N, Ha, Wa, 3) array instead of slab x G copies of it).
-            def per_step(st, b, app_stack):
+            # With slab_data='device' the RAY/TS/RGB rows follow the same
+            # pattern: the scene's flat buffers live in HBM and the body
+            # gathers each step's rows by the staged int32 ray_idx —
+            # bitwise-identical batches (pure take of the same f32 rows),
+            # ~8x less host->device traffic per slab. On the tunneled
+            # TPU that staging traffic was the main product-CLI-vs-bench
+            # gap (results/SLAB_TPU.md 100.5k vs BENCH_r04 165.8k).
+            mode = cfg.slab_data
+            buf_gb = (
+                scene.all_rays.nbytes + scene.all_rgbs.nbytes
+            ) / 2**30
+            if mode == "auto":
+                mode = (
+                    "device"
+                    if (buf_gb <= cfg.slab_buf_gb
+                        and scene.offsets[-1] < 2**31)
+                    else "host"
+                )
+            self._slab_device_data = mode == "device"
+
+            def per_step(st, b, aux):
                 b = dict(b)
                 idx = b.pop("image_idx")
                 b["whole_img"] = jnp.expand_dims(
-                    jnp.take(app_stack, idx, axis=0), -4
+                    jnp.take(aux["app"], idx, axis=0), -4
                 )
+                if "ray_idx" in b:
+                    ridx = b.pop("ray_idx")
+                    rows = jnp.take(aux["rays"], ridx, axis=0)
+                    b["rays"] = rows[..., :8]
+                    b["ts"] = rows[..., 8].astype(jnp.int32)
+                    b["rgbs"] = jnp.take(aux["rgb"], ridx, axis=0)
                 return step_local(st, b)
 
             if self.n_devices > 1:
@@ -130,12 +156,14 @@ class Trainer:
                     scan_local,
                     donate_argnums=(0,) if cfg.donate_state else (),
                 )
-            self._app_stack = jax.device_put(
-                jnp.asarray(scene.appearance_stack),
-                jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec()
-                ),
+            repl = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()
             )
+            aux = {"app": jnp.asarray(scene.appearance_stack)}
+            if self._slab_device_data:
+                aux["rays"] = jnp.asarray(scene.all_rays, jnp.float32)
+                aux["rgb"] = jnp.asarray(scene.all_rgbs, jnp.float32)
+            self._slab_aux = jax.device_put(aux, repl)
 
         self.logger = logger
         ckpt_dir = os.path.join(cfg.save_dir, "ckpts", cfg.exp_name)
@@ -312,14 +340,18 @@ class Trainer:
                     global_step,
                 )
             # ---- validation (reference: val at every epoch end,
-            # metric-logged; train…py:340-417)
+            # metric-logged; train…py:340-417). val_every_epochs thins or
+            # disables it (0 = off; throughput A/B runs)
             is_last = epoch == epochs - 1
-            val = self.validate(log_images=is_last)
-            if self.logger:
-                self.logger.log(
-                    {"val/psnr": val["psnr"], "val/ssim": val["ssim"]},
-                    global_step,
-                )
+            if cfg.val_every_epochs > 0 and (
+                (epoch + 1) % cfg.val_every_epochs == 0 or is_last
+            ):
+                val = self.validate(log_images=is_last)
+                if self.logger:
+                    self.logger.log(
+                        {"val/psnr": val["psnr"], "val/ssim": val["ssim"]},
+                        global_step,
+                    )
             if (epoch + 1) % cfg.ckpt_every_epochs == 0 or is_last:
                 self._save_checkpoint(global_step)
         # natural completion; the stop flag stays as-is so a signal that
@@ -385,12 +417,24 @@ class Trainer:
     def _stage_slab(self, epoch: int, start: int, n: int):
         """Assemble steps [start, start+n) of the epoch as one host slab
         (leading scan axis), minus whole_img — the scan body gathers
-        appearance images on device from the resident stack."""
+        appearance images on device from the resident stack. In
+        slab_data='device' mode only (ray_idx, uv_pix, image_idx) are
+        staged; the body gathers the ray/ts/rgb rows from the resident
+        buffers (bitwise-identical stream, tests/test_slab_gather.py)."""
         total = self.n_devices * self.grids
+        dev_data = self._slab_device_data
+        mk_one = (
+            self.pipeline.make_batch_idx if dev_data
+            else self.pipeline.make_batch
+        )
+        mk_global = (
+            self.pipeline.make_global_batch_idx if dev_data
+            else self.pipeline.make_global_batch
+        )
         host = []
         for i in range(start, start + n):
             if total > 1:
-                b = self.pipeline.make_global_batch(epoch, i, total)
+                b = mk_global(epoch, i, total)
                 if self.n_devices > 1 and self.grids > 1:
                     b = {
                         k: v.reshape(
@@ -399,8 +443,8 @@ class Trainer:
                         for k, v in b.items()
                     }
             else:
-                b = self.pipeline.make_batch(epoch, i)
-            b.pop("whole_img")
+                b = mk_one(epoch, i)
+            b.pop("whole_img", None)
             host.append(b)
         xs = {k: np.stack([h[k] for h in host]) for k in host[0]}
         if self.n_devices > 1:
@@ -423,7 +467,31 @@ class Trainer:
         slab = cfg.steps_per_dispatch
         step_in_ep = global_step - epoch * self.iters_per_epoch
         n_rays_done = 0
-        inflight: list = []  # metrics handles of dispatched slabs
+        inflight: list = []  # (first_step_id, n_steps, metrics handles)
+
+        def _drain_oldest():
+            """Wait for + log the OLDEST in-flight slab. Logging happens
+            here — on the slab the backpressure pop is already waiting
+            for — instead of device_get-ing the slab just dispatched,
+            which collapsed the two-slab pipeline on every logged slab
+            (advisor r4). Step ids ride along in the inflight tuple."""
+            first, n, metrics = inflight.pop(0)
+            hits = (
+                [i for i in range(n) if (first + i) % cfg.log_every == 0]
+                if self.logger and cfg.log_every > 0
+                else []
+            )
+            if hits:
+                mh = jax.device_get(metrics)
+                for i in hits:
+                    m = {
+                        f"train/{k}" if "/" not in k else k: v[i]
+                        for k, v in mh.items()
+                    }
+                    self.logger.log(m, first + i)
+            else:
+                jax.device_get(jax.tree.leaves(metrics)[0])
+
         while step_in_ep < self.iters_per_epoch:
             n = min(slab, self.iters_per_epoch - step_in_ep)
             xs = self._stage_slab(epoch, step_in_ep, n)
@@ -437,33 +505,25 @@ class Trainer:
             # while still overlapping host batch-assembly with device
             # compute and hiding one dispatch round-trip.
             if len(inflight) >= 2:
-                jax.device_get(jax.tree.leaves(inflight.pop(0))[0])
+                _drain_oldest()
             self.state, metrics = self.scan_fn(
-                self.state, xs, self._app_stack
+                self.state, xs, self._slab_aux
             )
-            inflight.append(metrics)
-            first = global_step + 1  # step ids first .. first+n-1
+            inflight.append((global_step + 1, n, metrics))
             global_step += n
             step_in_ep += n
             self._progress_steps += n
             n_rays_done += (
                 n * cfg.batch_size * self.n_devices * self.grids
             )
-            if self.logger and cfg.log_every > 0:
-                hits = [
-                    i for i in range(n)
-                    if (first + i) % cfg.log_every == 0
-                ]
-                if hits:
-                    mh = jax.device_get(metrics)
-                    for i in hits:
-                        m = {
-                            f"train/{k}" if "/" not in k else k: v[i]
-                            for k, v in mh.items()
-                        }
-                        self.logger.log(m, first + i)
             if self._should_stop(global_step):
                 break
+        # Drain the in-flight tail: emits its logs and makes the caller's
+        # epoch wall-clock include ALL the epoch's device work (the old
+        # loop returned with up to two slabs still executing, flattering
+        # train/rays_per_sec by up to 2/n_slabs).
+        while inflight:
+            _drain_oldest()
         return global_step, n_rays_done
 
     # ------------------------------------------------------- train panels

@@ -56,6 +56,15 @@ SCENE_NAME = "rehearsal_brandenburg_gate"  # suffix picks the camera-path
 # preset (render/camera_path.py resolve_scene, reference
 # appearance_modification_video.py:214-219)
 
+# Quality gate (--gate): fail the run when psnr_right_half lands below
+# mean - 2*sigma of the recorded multi-seed band at the standard
+# 20-epoch rehearsal config (the de-facto reference regression check is
+# exactly this protocol — /root/reference/command/test.sh:17-32 ->
+# eval_metric.py). Band rows live in results/REHEARSAL_BAND.md; the
+# small-scale sibling is scripts/quality_run.py --gate.
+REHEARSAL_GATE_MEAN: float | None = None  # set once the seed band lands
+REHEARSAL_GATE_FLOOR: float | None = None
+
 ASPECTS = ((4, 3), (3, 2), (16, 9), (2, 3))  # landscape + one portrait
 
 
@@ -224,6 +233,7 @@ def stage_train(args, report):
         appearance_wh=(224, 160),
         exp_name="rehearsal",
         save_dir=args.save_dir,
+        seed=args.seed,
     )
     if not on_tpu:  # CPU smoke: shrink the model, keep the plumbing
         cfg = cfg.replace(
@@ -304,7 +314,7 @@ def stage_train(args, report):
         t_ep = time.perf_counter()
         e_stage = e_gen = 0.0
         inflight = []
-        curve = None
+        curve = None  # stays None if n_slabs == 0 (tiny smoke configs)
         for s in range(n_slabs):
             tg = time.perf_counter()
             host = []
@@ -325,7 +335,10 @@ def stage_train(args, report):
             state, curve = run_slab(state, xs)
             inflight.append(curve)
             del xs
-        last = float(curve["psnr"][-1])  # drains the epoch's dispatches
+        # drains the epoch's dispatches (nan when n_slabs == 0)
+        last = (
+            float(curve["psnr"][-1]) if curve is not None else float("nan")
+        )
         e_wall = time.perf_counter() - t_ep
         epoch_s.append(e_wall)
         gen_s.append(e_gen)
@@ -338,15 +351,20 @@ def stage_train(args, report):
             report["hbm_peak_gib_epoch1"] = _hbm_peak()
 
     report["train_wall_s"] = round(time.perf_counter() - t_train0, 1)
-    report["epoch_device_s_median"] = round(sorted(epoch_s)[len(epoch_s) // 2], 1)
-    report["epoch0_device_s_incl_compile"] = round(epoch_s[0], 1)
-    report["batch_gen_s_total"] = round(sum(gen_s), 1)
-    report["stage_in_s_total"] = round(sum(stage_s), 1)
-    steady = epoch_s[1:] or epoch_s
-    rays_per_epoch = eff_steps * cfg.batch_size * G
-    report["train_rays_per_sec_steady"] = round(
-        rays_per_epoch / (sorted(steady)[len(steady) // 2]), 0
-    )
+    if epoch_s:  # epochs=0 smoke configs have no per-epoch rows
+        # wall-clock keys (these were misnamed *_device_s_* before —
+        # epochs are timed end-to-end on the host, advisor r4)
+        report["epoch_wall_s_median"] = round(
+            sorted(epoch_s)[len(epoch_s) // 2], 1
+        )
+        report["epoch0_wall_s_incl_compile"] = round(epoch_s[0], 1)
+        report["batch_gen_s_total"] = round(sum(gen_s), 1)
+        report["stage_in_s_total"] = round(sum(stage_s), 1)
+        steady = epoch_s[1:] or epoch_s
+        rays_per_epoch = eff_steps * cfg.batch_size * G
+        report["train_rays_per_sec_steady"] = round(
+            rays_per_epoch / (sorted(steady)[len(steady) // 2]), 0
+        )
     report["hbm_peak_gib"] = _hbm_peak()
 
     trainer.state = state
@@ -367,6 +385,15 @@ def main():
     ap.add_argument("--grids", type=int, default=16)
     ap.add_argument("--n_frames", type=int, default=60,
                     help="video-demo frames (reference preset is 240)")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="training seed (Config.seed; the quality band "
+                         "varies this — results/REHEARSAL_BAND.md)")
+    ap.add_argument("--skip_video", action="store_true",
+                    help="stop after metrics (seed-band quality runs "
+                         "don't need the video stage)")
+    ap.add_argument("--gate", action="store_true",
+                    help="fail (exit 1) if psnr_right_half < the "
+                         "recorded band's mean - 2*sigma")
     ap.add_argument("--out_md", default=None,
                     help="report path (default results/REHEARSAL.md)")
     ap.add_argument("--cpu", action="store_true",
@@ -461,7 +488,29 @@ def main():
     if "mse" in m:
         report["mse_right_half"] = float(m["mse"])
 
+    # ---- quality gate (directive r4-4) --------------------------------
+    if args.gate:
+        got = report["psnr_right_half"]
+        if REHEARSAL_GATE_FLOOR is None:
+            print("[gate] no band recorded yet (REHEARSAL_GATE_FLOOR "
+                  "unset) — cannot gate", flush=True)
+            sys.exit(2)
+        verdict = "PASS" if got >= REHEARSAL_GATE_FLOOR else "FAIL"
+        print(f"[gate] psnr_right_half {got:.3f} vs floor "
+              f"{REHEARSAL_GATE_FLOOR:.3f} (band mean "
+              f"{REHEARSAL_GATE_MEAN:.3f}): {verdict}", flush=True)
+        report["gate"] = verdict
+        if verdict == "FAIL":
+            _write_report(report, out_md, args)
+            sys.exit(1)
+
     # ---- 6. video demo -------------------------------------------------
+    if args.skip_video:
+        report["video_s"] = "skipped (--skip_video)"
+        _write_report(report, out_md, args)
+        print(f"[report] -> {out_md}", flush=True)
+        return
+
     from crnerf_tpu.apps.video import main as video_main
 
     style_dir = os.path.join(args.save_dir, "styles")
@@ -492,6 +541,11 @@ def main():
     report["video_frames"] = args.n_frames
 
     # ---- report --------------------------------------------------------
+    _write_report(report, out_md, args)
+    print(f"[report] -> {out_md}", flush=True)
+
+
+def _write_report(report, out_md, args):
     os.makedirs(os.path.dirname(out_md), exist_ok=True)
     lines = [
         "# Production dress rehearsal",
@@ -516,7 +570,6 @@ def main():
               "```", ""]
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
-    print(f"[report] -> {out_md}", flush=True)
 
 
 if __name__ == "__main__":

@@ -65,17 +65,25 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "results",
                                                   "SERVE_TPU.md"))
     ap.add_argument("--n_samples", type=int, default=256)
+    ap.add_argument("--warmup", default="",
+                    help="comma list of WxH sizes the server pre-compiles "
+                         "BEFORE accepting connections (apps/serve.py "
+                         "--warmup); with the persistent jit cache this "
+                         "makes the first client render warm "
+                         "(r4 directive 7)")
     args = ap.parse_args()
 
     ckpt = args.ckpt_path or _export_random_ckpt("/tmp/serve_tpu_ckpt")
     port = _free_port()
     log_path = "/tmp/serve_tpu_server.log"
     log = open(log_path, "w")
+    t_start = time.perf_counter()
     proc = subprocess.Popen(
         [sys.executable, "-m", "crnerf_tpu", "serve",
          "--ckpt_path", ckpt, "--port", str(port),
          "--N_samples", str(args.n_samples),
-         "--N_importance", str(args.n_samples)],
+         "--N_importance", str(args.n_samples)]
+        + (["--warmup", args.warmup] if args.warmup else []),
         cwd=REPO, stdout=log, stderr=subprocess.STDOUT,
     )
 
@@ -111,7 +119,13 @@ def main():
                         f"server never came up; log: {log_path}"
                     )
                 time.sleep(5)
+        startup_s = time.perf_counter() - t_start
         record("ping (server up)", r, wall)
+        session.append({
+            "req": "(startup: launch -> first ping"
+                   + (f", warmup={args.warmup})" if args.warmup else ")"),
+            "wall_s": round(startup_s, 1), "ok": True,
+        })
 
         # style: synthesize one (styles need only be a valid image file)
         import numpy as np
@@ -125,9 +139,18 @@ def main():
         r, wall = req({"op": "encode_style", "id": "s", "image_path": style})
         record("encode_style", r, wall)
 
-        # bucket A: 320x240 — first render compiles, three more reuse
+        # bucket A: 320x240 — compiles unless pre-warmed (--warmup)
         r, wall = req(_rr(320, 240))
-        record("render 320x240 (cold: compile)", r, wall)
+        warmed = "320x240" in args.warmup
+        record(
+            "render 320x240 (warm-started)" if warmed
+            else "render 320x240 (cold: compile)", r, wall,
+        )
+        if warmed:
+            assert not r["compiled"], "warmup should have precompiled"
+            assert wall < 5.0, (
+                f"first warm request took {wall:.1f}s (>5s budget)"
+            )
         # all inside the 81,920-ray bucket (1.25 * 2^16; px <= 81,920)
         for i, (w, h) in enumerate([(320, 240), (300, 225), (326, 244)]):
             r, wall = req(_rr(w, h))

@@ -43,6 +43,12 @@ def main():
     p.add_argument("--grids_per_step", type=int, default=1,
                    help="G grids per DEVICE (reference --num_gpus "
                         "semantics folded per device, train/step.py)")
+    p.add_argument("--steps_per_dispatch", type=int, default=0,
+                   help="> 1: slab dispatch through shard_train_scan "
+                        "(the production-recommended feeding mode, "
+                        "proven here under jax.distributed). With "
+                        "--preempt_at N the SIGTERM lands after N "
+                        "DISPATCHES (slabs), not steps")
     a = p.parse_args()
 
     # Platform pinning must precede the first backend init (see
@@ -95,6 +101,7 @@ def main():
         netwidth=16, nerf_out_dim=8, N_vocab=10, appearance_wh=(32, 24),
         chunk=256, num_epochs=50 if a.preempt_at else 1, lr=5e-4,
         grids_per_step=a.grids_per_step,
+        steps_per_dispatch=a.steps_per_dispatch,
         save_dir=a.save_dir,
         exp_name="mp", log_every=1, dataset_name="synthetic",
         num_devices=0,  # all 4 global devices -> mesh crosses processes
@@ -117,25 +124,46 @@ def main():
     # KV timeout. This barrier rides the coordination service (generous
     # timeouts); past it, every program's compile starts simultaneously
     # on all processes and collectives keep later steps aligned.
-    from jax._src import distributed as _dist
+    try:  # guarded private API (mirrors utils/jit_cache.py): a JAX bump
+        # must degrade to "no extra barrier" (Gloo's own timeouts then
+        # absorb the startup skew), not an obscure ImportError
+        from jax._src import distributed as _dist
 
-    _dist.global_state.client.wait_at_barrier(
-        "pre_trainer", timeout_in_ms=900_000
-    )
+        client = getattr(_dist.global_state, "client", None)
+        if client is not None:
+            client.wait_at_barrier("pre_trainer", timeout_in_ms=900_000)
+    except Exception as e:  # pragma: no cover - depends on jax version
+        print(f"pre_trainer barrier unavailable ({e}); relying on "
+              "collective timeouts", flush=True)
     tr = Trainer(cfg, scene, logger=logger)
     if a.preempt_at:
         import signal
 
-        orig_step, seen = tr.step_fn, {"n": 0}
+        seen = {"n": 0}
 
-        def step_then_notice(state, batch):
-            out = orig_step(state, batch)
+        def _notice():
             seen["n"] += 1
             if a.process_id == a.preempt_rank and seen["n"] == a.preempt_at:
                 os.kill(os.getpid(), signal.SIGTERM)
-            return out
 
-        tr.step_fn = step_then_notice
+        if a.steps_per_dispatch > 1:
+            orig_scan = tr.scan_fn
+
+            def scan_then_notice(state, xs, aux):
+                out = orig_scan(state, xs, aux)
+                _notice()
+                return out
+
+            tr.scan_fn = scan_then_notice
+        else:
+            orig_step = tr.step_fn
+
+            def step_then_notice(state, batch):
+                out = orig_step(state, batch)
+                _notice()
+                return out
+
+            tr.step_fn = step_then_notice
     tr.fit()
     # both processes stop (or finish) together, so this branch is
     # consistent across the collective

@@ -534,37 +534,78 @@ class TestSlabDispatch:
             b = tr.pipeline.make_global_batch(0, i, 2)
             state_a, _ = tr.step_fn(state_a, jax.tree.map(jnp.asarray, b))
         xs = tr._stage_slab(0, 0, 3)
-        state_b, _ = tr.scan_fn(tr.state, xs, tr._app_stack)
+        state_b, _ = tr.scan_fn(tr.state, xs, tr._slab_aux)
         tr.ckpt.close()
         self._assert_states_match(
             jax.device_get(state_a), jax.device_get(state_b),
             atol=1e-4, rtol=1e-4,
         )
 
-    def test_slab_stream_bitwise_identical(self, tmp_path):
-        """The staged slab IS the per-step batch stream, bitwise: same
-        sampler draws in the same order, and the on-device whole_img
-        gather (jnp.take from the resident appearance stack) reproduces
-        the host-staged whole_img exactly."""
+    @pytest.mark.parametrize("slab_data", ["host", "device"])
+    def test_slab_stream_bitwise_identical(self, tmp_path, slab_data):
+        """The staged slab IS the per-step batch stream, bitwise, in BOTH
+        staging modes: same sampler draws in the same order, and the
+        on-device gathers (whole_img from the resident appearance stack;
+        with slab_data='device' also rays/ts/rgbs from the resident ray
+        and rgb buffers by the staged int32 ray_idx) reproduce the
+        host-staged per-step batch exactly."""
         import jax
         import jax.numpy as jnp
 
         scene = self._scene()
         from crnerf_tpu.train.loop import Trainer
 
-        tr = Trainer(self._mkcfg(tmp_path, "slabstream", 3), scene)
+        cfg = self._mkcfg(tmp_path, f"slabstream_{slab_data}", 3).replace(
+            slab_data=slab_data
+        )
+        tr = Trainer(cfg, scene)
+        assert tr._slab_device_data == (slab_data == "device")
         tr.iters_per_epoch = 7
         xs = jax.device_get(tr._stage_slab(0, 0, 3))
+        aux = jax.device_get(tr._slab_aux)
         for i in range(3):
             ref = tr.pipeline.make_global_batch(0, i, 2)
             wi = ref.pop("whole_img")
-            for k, v in ref.items():
-                assert np.array_equal(np.asarray(xs[k][i]), v), k
+            if slab_data == "device":
+                # reconstruct exactly as the scan body does (loop.py
+                # per_step): pure takes from the resident buffers
+                ridx = xs["ray_idx"][i]
+                rows = aux["rays"][ridx]
+                assert np.array_equal(rows[..., :8], ref["rays"])
+                assert np.array_equal(
+                    rows[..., 8].astype(np.int32), ref["ts"]
+                )
+                assert np.array_equal(aux["rgb"][ridx], ref["rgbs"])
+                for k in ("uv_pix", "image_idx"):
+                    assert np.array_equal(np.asarray(xs[k][i]), ref[k]), k
+            else:
+                for k, v in ref.items():
+                    assert np.array_equal(np.asarray(xs[k][i]), v), k
             gathered = jnp.expand_dims(
-                jnp.take(tr._app_stack, jnp.asarray(ref["image_idx"]),
-                         axis=0), -4)
+                jnp.take(jnp.asarray(aux["app"]),
+                         jnp.asarray(ref["image_idx"]), axis=0), -4)
             assert np.array_equal(np.asarray(gathered), wi)
         tr.ckpt.close()
+
+    def test_slab_device_gather_matches_host_fit(self, tmp_path):
+        """End-to-end fit() with slab_data='device' vs 'host': identical
+        program structure would make these bitwise, but the gathers move
+        into the jitted scan (different XLA program), so this is the
+        same trajectory-band check as the other fit-level tests."""
+        scene = self._scene()
+        sa = self._run(
+            self._mkcfg(tmp_path, "slabhost", 3).replace(
+                slab_data="host"
+            ),
+            scene,
+        )
+        sb = self._run(
+            self._mkcfg(tmp_path, "slabdev", 3).replace(
+                slab_data="device"
+            ),
+            scene,
+        )
+        self._assert_states_match(sa, sb, atol=5e-3, rtol=5e-2)
 
     def test_slab_matches_per_step_single_device(self, tmp_path):
         scene = self._scene()
