@@ -60,10 +60,14 @@ SCENE_NAME = "rehearsal_brandenburg_gate"  # suffix picks the camera-path
 # mean - 2*sigma of the recorded multi-seed band at the standard
 # 20-epoch rehearsal config (the de-facto reference regression check is
 # exactly this protocol — /root/reference/command/test.sh:17-32 ->
-# eval_metric.py). Band rows live in results/REHEARSAL_BAND.md; the
-# small-scale sibling is scripts/quality_run.py --gate.
-REHEARSAL_GATE_MEAN: float | None = None  # set once the seed band lands
-REHEARSAL_GATE_FLOOR: float | None = None
+# eval_metric.py). Band measured 2026-08-20 on the real chip, seeds
+# {42, 0, 1}: 21.226 / 19.721 / 22.177 dB -> mean 21.041, sample sigma
+# 1.238 (20-epoch runs are mid-convergence, so seed spread is wide —
+# the 60-epoch small-scale gate sees ~0.88 dB). Rows:
+# results/REHEARSAL_BAND.md; small-scale sibling:
+# scripts/quality_run.py --gate.
+REHEARSAL_GATE_MEAN: float | None = 21.041
+REHEARSAL_GATE_FLOOR: float | None = 18.565
 
 ASPECTS = ((4, 3), (3, 2), (16, 9), (2, 3))  # landscape + one portrait
 

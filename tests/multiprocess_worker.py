@@ -49,6 +49,9 @@ def main():
                         "proven here under jax.distributed). With "
                         "--preempt_at N the SIGTERM lands after N "
                         "DISPATCHES (slabs), not steps")
+    p.add_argument("--val_every_epochs", type=int, default=1,
+                   help="Config.val_every_epochs (0 trims the val-render "
+                        "compile from legs that don't target it)")
     a = p.parse_args()
 
     # Platform pinning must precede the first backend init (see
@@ -102,6 +105,7 @@ def main():
         chunk=256, num_epochs=50 if a.preempt_at else 1, lr=5e-4,
         grids_per_step=a.grids_per_step,
         steps_per_dispatch=a.steps_per_dispatch,
+        val_every_epochs=a.val_every_epochs,
         save_dir=a.save_dir,
         exp_name="mp", log_every=1, dataset_name="synthetic",
         num_devices=0,  # all 4 global devices -> mesh crosses processes

@@ -587,6 +587,7 @@ class TestSlabDispatch:
             assert np.array_equal(np.asarray(gathered), wi)
         tr.ckpt.close()
 
+    @pytest.mark.slow
     def test_slab_device_gather_matches_host_fit(self, tmp_path):
         """End-to-end fit() with slab_data='device' vs 'host': identical
         program structure would make these bitwise, but the gathers move
@@ -607,12 +608,14 @@ class TestSlabDispatch:
         )
         self._assert_states_match(sa, sb, atol=5e-3, rtol=5e-2)
 
+    @pytest.mark.slow
     def test_slab_matches_per_step_single_device(self, tmp_path):
         scene = self._scene()
         sa = self._run(self._mkcfg(tmp_path, "perstep", 0), scene)
         sb = self._run(self._mkcfg(tmp_path, "slab", 3), scene)
         self._assert_states_match(sa, sb, atol=5e-3, rtol=5e-2)
 
+    @pytest.mark.slow
     def test_slab_matches_per_step_two_devices(self, tmp_path):
         """(D=2, G=2) layout through shard_train_scan: the sharded slab
         scan must equal the per-step shard_map stream."""
@@ -625,6 +628,7 @@ class TestSlabDispatch:
         )
         self._assert_states_match(sa, sb, atol=5e-3, rtol=5e-2)
 
+    @pytest.mark.slow
     def test_slab_preemption_at_boundary_resumes_exact(self, tmp_path):
         """A stop lands at a slab boundary; the resumed run replays the
         remaining (epoch, step) sequence and ends identical to an

@@ -29,7 +29,8 @@ def _free_port() -> int:
     return port
 
 
-def _run_workers(tmp_path, extra_args=(), num_processes=2):
+def _run_workers(tmp_path, extra_args=(), num_processes=2,
+                 timeout=1200):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -76,8 +77,10 @@ def _run_workers(tmp_path, extra_args=(), num_processes=2):
         for p in procs:
             # 4 workers x (train step + val render + restore) compiles:
             # 1-4 min each on a cold cache under CI load (possibly one
-            # shared core — see the worker's distributed timeouts)
-            p.wait(timeout=1200)
+            # shared core — see the worker's distributed timeouts); the
+            # slab leg compiles a scan-of-steps program (~2x the step's
+            # compile) and passes a bigger budget
+            p.wait(timeout=timeout)
     finally:
         for p in procs:
             if p.poll() is None:
@@ -167,11 +170,17 @@ def test_four_process_slab_dispatch_with_preemption(tmp_path):
     is polled per slab), checkpoint collectively, and restore exactly
     (r4 verdict directive 3: slab x distributed were previously only
     proven separately)."""
+    # slab == steps/epoch (3 on this scene at D=8 x G=2) so only ONE
+    # scan shape compiles (no remainder program), and per-epoch val is
+    # off (covered by the other 4-proc tests): 4 workers compiling a
+    # scan-of-steps program on one shared CI core is the cost ceiling
+    # here, so the leg trims every program that is not its target
     results, save_dir = _run_workers(
         tmp_path,
-        ("--steps_per_dispatch", "2", "--grids_per_step", "2",
-         "--preempt_at", "2", "--preempt_rank", "2"),
-        num_processes=4,
+        ("--steps_per_dispatch", "3", "--grids_per_step", "2",
+         "--preempt_at", "2", "--preempt_rank", "2",
+         "--val_every_epochs", "0"),
+        num_processes=4, timeout=2200,
     )
     assert all(r["stopped"] for r in results)
     steps = {r["step"] for r in results}
