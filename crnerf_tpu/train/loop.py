@@ -183,6 +183,8 @@ class Trainer:
         self._progress_steps = 0
         self._completed = False  # fit() ran all epochs to the end
         self._preemption_sync_broken = False  # warn-once latch
+        self._dispatch_idx = 0  # slab-mode preemption sync id: +1 per
+        # dispatch (see _should_stop for why raw step ids cannot be used)
 
         if cfg.ckpt_path:
             self.restore(cfg.ckpt_path)
@@ -253,16 +255,24 @@ class Trainer:
         callers can distinguish a preempted fit from a completed one)."""
         self._stop_requested = False
 
-    def _should_stop(self, global_step: int) -> bool:
+    def _should_stop(self, sync_id: int) -> bool:
+        """``sync_id`` MUST increase by exactly 1 per poll: jax's
+        preemption protocol agrees on (max observed id + 1) as the safe
+        stop id and returns True only when the polled id EQUALS it
+        (multihost_utils.reached_preemption_sync_point). The per-step
+        loop passes global_step; the slab loop passes its DISPATCH index
+        — polling the raw step there (3, 6, 9, ... at slab=3) skips the
+        agreed id and the stop never fires (found by the 4-process slab
+        preemption test: all workers trained silently to num_epochs)."""
         if jax.process_count() > 1 and not self._preemption_sync_broken:
             try:
                 from jax.experimental import multihost_utils
 
-                # cross-process agreement: returns True at the SAME step
+                # cross-process agreement: returns True at the SAME id
                 # on every process once any process got the cluster's
                 # preemption notice (SIGTERM to jax.distributed)
                 if multihost_utils.reached_preemption_sync_point(
-                    global_step
+                    sync_id
                 ):
                     self._stop_requested = True
             except RuntimeError as e:
@@ -460,9 +470,11 @@ class Trainer:
         lax.scan — the pattern bench.py/scripts/quality_run.py proved out
         against the high-latency tunnel, promoted into the product. At
         most two program shapes compile per run (full slab + remainder).
-        Preemption is polled at slab boundaries, so a stop loses at most
-        one slab of work to the resume replay (still exact: batches are a
-        pure f(epoch, step))."""
+        Preemption is polled at slab boundaries with a per-DISPATCH sync
+        id (see _should_stop: jax's sync protocol needs ids that
+        advance by 1 per poll — raw step ids would skip the agreed
+        stop), so a stop loses at most one slab of work to the resume
+        replay (still exact: batches are a pure f(epoch, step))."""
         cfg = self.cfg
         slab = cfg.steps_per_dispatch
         step_in_ep = global_step - epoch * self.iters_per_epoch
@@ -513,10 +525,11 @@ class Trainer:
             global_step += n
             step_in_ep += n
             self._progress_steps += n
+            self._dispatch_idx += 1
             n_rays_done += (
                 n * cfg.batch_size * self.n_devices * self.grids
             )
-            if self._should_stop(global_step):
+            if self._should_stop(self._dispatch_idx):
                 break
         # Drain the in-flight tail: emits its logs and makes the caller's
         # epoch wall-clock include ALL the epoch's device work (the old
