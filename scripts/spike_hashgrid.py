@@ -157,9 +157,17 @@ def main():
         (tab,) = p
         return jnp.sum(enc(tab, pts) * 1e-6)
 
-    def make_run(loss):
+    def make_run(loss, fwd_only=False):
         def one(carry, _):
             p, acc = carry
+            if fwd_only:
+                # tie the iteration's input to the carry so XLA cannot
+                # hoist the loop-invariant encode out of the scan
+                p_step = jax.tree.map(
+                    lambda a: a + jnp.asarray(acc * 0, a.dtype), p
+                )
+                v = loss(p_step)
+                return (p, acc + v), None
             v, g = jax.value_and_grad(loss)(p)
             p2 = jax.tree.map(lambda a, b: a + 1e-12 * b.astype(a.dtype),
                               p, g)
@@ -176,6 +184,10 @@ def main():
     print(f"platform={dev} pts={args.pts} L={args.levels} "
           f"T=2^{args.t_log2} F={args.feat} "
           f"table={'bf16' if args.bf16_table else 'f32'}", flush=True)
+
+    s_fwd = bench(make_run(loss_enc, fwd_only=True), (table,), args.k)
+    print(f"hash encode FWD only (pure gather): "
+          f"{s_fwd * 1e3:.2f} ms / {args.pts} pts", flush=True)
 
     s_enc = bench(make_run(loss_enc), (table,), args.k)
     print(f"hash encode fwd+bwd (gather + scatter-add VJP): "
