@@ -339,6 +339,28 @@ class _Handler(socketserver.StreamRequestHandler):
                 return
 
 
+def warmup(svc: RenderService, sizes: str) -> None:
+    """Pre-compile the named WxH buckets BEFORE the server accepts
+    connections (r4 verdict directive 7), then zero the latency stats:
+    warmup renders are compile-dominated and would skew op_stats'
+    p50/p95 (seen in the first recorded TPU session — the 81 s p95 in
+    results/SERVE_TPU_WARM.md spans the pre-bind compile, not any
+    client-visible request)."""
+    ww, wh_ = svc.cfg.appearance_wh
+    for size in filter(None, sizes.split(",")):
+        w, h = (int(x) for x in size.lower().split("x"))
+        style = np.zeros((1, wh_, ww, 3), np.float32)
+        c2w, K, near, far, hw = svc._cam_from({
+            "wh": [w, h],
+            "c2w": np.eye(3, 4, dtype=np.float32).tolist(),
+        })
+        svc._render((c2w, K, near, far), style, hw)
+        print(f"warmup {w}x{h}: bucket {bucket_size(w * h)} compiled",
+              flush=True)
+    svc.n_renders = 0
+    svc.render_ms.clear()
+
+
 class Server(socketserver.ThreadingTCPServer):
     daemon_threads = True
     allow_reuse_address = True
@@ -417,16 +439,7 @@ def main(argv: Optional[Sequence[str]] = None):
     )
     svc = RenderService(cfg, load_variables(args.ckpt_path),
                         root=args.root or None)
-    for size in filter(None, args.warmup.split(",")):
-        w, h = (int(x) for x in size.lower().split("x"))
-        style = np.zeros((1, args.appearance_wh[1],
-                          args.appearance_wh[0], 3), np.float32)
-        c2w, K, near, far, hw = svc._cam_from({
-            "wh": [w, h],
-            "c2w": np.eye(3, 4, dtype=np.float32).tolist(),
-        })
-        svc._render((c2w, K, near, far), style, hw)
-        print(f"warmup {w}x{h}: bucket {bucket_size(w * h)} compiled")
+    warmup(svc, args.warmup)
 
     server = Server(svc, args.host, args.port)
     host, port = server.server_address

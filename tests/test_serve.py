@@ -82,6 +82,29 @@ class TestService:
         assert stats["renders"] >= 2 and stats["p50_ms"] > 0
         assert stats["buckets_compiled"] == [r1["bucket"]]
 
+    def test_warmup_precompiles_and_resets_stats(self, style_png):
+        # fresh service (not the shared fixture: warmup must own the
+        # compile census and the stats counters)
+        from crnerf_tpu.apps.serve import warmup
+
+        cfg = Config(**CFG)
+        variables = CrNerfSystem(cfg).init(jax.random.PRNGKey(1))
+        svc = RenderService(cfg, variables)
+        warmup(svc, "24x18")
+        # the warmup render compiled the bucket but must NOT appear in
+        # the service's client-visible latency stats
+        stats = svc.handle({"op": "stats"})
+        assert stats["renders"] == 0 and stats["p50_ms"] is None
+        assert stats["buckets_compiled"] == [bucket_size(24 * 18)]
+        # first client render in the warmed bucket is NOT a fresh compile
+        r = svc.handle({"op": "encode_style", "id": "s",
+                        "image_path": style_png})
+        assert r["ok"]
+        r = svc.handle(_render_req(24, 18, style_id="s", inline=True))
+        assert r["ok"] and not r["compiled"]
+        stats = svc.handle({"op": "stats"})
+        assert stats["renders"] == 1
+
     def test_render_to_file(self, service, style_png, tmp_path):
         out = str(tmp_path / "frames" / "f.png")
         r = service.handle(_render_req(20, 16, style_image=style_png,
